@@ -1,0 +1,152 @@
+"""Tests for nn building blocks: RoPE invariants, attention parity
+(flash-in-interpret vs XLA), block shapes, GatedUpdate invariants."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vitslam_tpu.nn import (
+    Attention, Block, CrossAttention, CrossAttentionBlock, GatedUpdate,
+    LayerScale, Mlp, apply_rope_1d, apply_rope_2d, patch_grid_positions,
+)
+from vitslam_tpu.ops.attention import scaled_dot_product_attention
+from vitslam_tpu.ops import flash_attention
+
+
+class TestRope:
+    def test_rope_preserves_norm(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 4, 10, 32)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 50, size=(2, 10)))
+        out = apply_rope_1d(x, pos)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-5,
+        )
+
+    def test_rope_relative_property(self):
+        # <rope(q, i), rope(k, j)> depends only on i - j.
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(1, 1, 1, 16)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 1, 1, 16)), jnp.float32)
+
+        def dot_at(i, j):
+            qi = apply_rope_1d(q, jnp.asarray([[i]]))
+            kj = apply_rope_1d(k, jnp.asarray([[j]]))
+            return float(jnp.sum(qi * kj))
+
+        assert abs(dot_at(3, 1) - dot_at(10, 8)) < 1e-4
+        assert abs(dot_at(0, 0) - dot_at(7, 7)) < 1e-4
+
+    def test_rope_zero_pos_identity(self):
+        x = jnp.ones((1, 2, 3, 8), jnp.float32)
+        out = apply_rope_1d(x, jnp.zeros((1, 3), jnp.int32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_rope_2d_axes_independent(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
+        pos_a = jnp.asarray([[[1, 5], [2, 5], [3, 5], [4, 5]]])
+        pos_b = jnp.asarray([[[1, 9], [2, 9], [3, 9], [4, 9]]])
+        a = np.asarray(apply_rope_2d(x, pos_a))
+        b = np.asarray(apply_rope_2d(x, pos_b))
+        # first half (row-rotated) identical, second half differs
+        np.testing.assert_allclose(a[..., :8], b[..., :8], atol=1e-6)
+        assert np.abs(a[..., 8:] - b[..., 8:]).max() > 1e-3
+
+    def test_patch_grid_positions(self):
+        pos = np.asarray(patch_grid_positions(2, 3, 4, num_special=5))
+        assert pos.shape == (2, 5 + 12, 2)
+        assert (pos[:, :5] == 0).all()
+        assert pos[0, 5].tolist() == [1, 1]
+        assert pos[0, -1].tolist() == [3, 4]
+
+
+class TestAttention:
+    def test_flash_matches_xla_interpret(self):
+        # Run the Pallas kernel in interpreter mode on CPU and compare to XLA.
+        from vitslam_tpu.ops import flash_attention as fa_fn
+
+        rng = np.random.default_rng(3)
+        B, H, N, D = 1, 2, 300, 64
+        q = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, N + 37, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, N + 37, D)), jnp.float32)
+
+        ref = scaled_dot_product_attention(q, k, v, impl="xla")
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out = fa_fn(q, k, v, block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_xla_cross_attention_shapes(self):
+        rng = np.random.default_rng(4)
+        q = jnp.asarray(rng.normal(size=(3, 4, 7, 16)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 4, 13, 16)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(3, 4, 13, 16)), jnp.float32)
+        out = scaled_dot_product_attention(q, k, v)
+        assert out.shape == (3, 4, 7, 16)
+
+    def test_attention_softmax_rows(self):
+        # uniform keys -> output = mean of values
+        q = jnp.zeros((1, 1, 5, 8), jnp.float32)
+        k = jnp.zeros((1, 1, 9, 8), jnp.float32)
+        v = jnp.asarray(np.random.default_rng(5).normal(size=(1, 1, 9, 8)), jnp.float32)
+        out = scaled_dot_product_attention(q, k, v, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(out[0, 0, 0]), np.asarray(v[0, 0].mean(axis=0)), atol=1e-5
+        )
+
+
+class TestModules:
+    def test_block_forward(self):
+        m = Block(dim=64, num_heads=4, init_values=0.01, rope="2d", dtype=jnp.float32)
+        x = jnp.ones((2, 10, 64))
+        pos = patch_grid_positions(2, 2, 4, num_special=2)
+        params = m.init(jax.random.PRNGKey(0), x, pos)
+        y = m.apply(params, x, pos)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_cross_attention_block(self):
+        m = CrossAttentionBlock(dim=32, num_heads=4, qk_norm=True, rope="1d")
+        x = jnp.ones((2, 5, 32))
+        y = jnp.ones((2, 8, 32))
+        pos = (jnp.tile(jnp.arange(5)[None], (2, 1)), jnp.tile(jnp.arange(8)[None], (2, 1)))
+        params = m.init(jax.random.PRNGKey(0), x, y, pos)
+        out = m.apply(params, x, y, pos)
+        assert out.shape == x.shape
+
+    def test_layerscale_init(self):
+        m = LayerScale(8, init_values=0.01)
+        x = jnp.ones((1, 8))
+        params = m.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(np.asarray(m.apply(params, x)), 0.01, rtol=1e-6)
+
+    def test_gated_update_unit_norm_output(self):
+        m = GatedUpdate(token_dim=16, num_tokens=4)
+        rng = np.random.default_rng(6)
+        mem = rng.normal(size=(2, 4, 16)).astype(np.float32)
+        mem /= np.linalg.norm(mem, axis=-1, keepdims=True)
+        upd = rng.normal(size=(2, 16)).astype(np.float32)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(mem), jnp.asarray(upd))
+        out = np.asarray(m.apply(params, jnp.asarray(mem), jnp.asarray(upd)))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+        # memory actually moves
+        assert np.abs(out - mem).max() > 1e-4
+
+    def test_gated_update_gate_detached(self):
+        # Gradient flows to delta MLPs but gate input is detached:
+        # gate params still get gradient through the gate value itself.
+        m = GatedUpdate(token_dim=8, num_tokens=2)
+        mem = jnp.ones((1, 2, 8)) / jnp.sqrt(8.0)
+        upd = jnp.ones((1, 8))
+        params = m.init(jax.random.PRNGKey(0), mem, upd)
+
+        def loss(p):
+            return jnp.sum(m.apply(p, mem, upd) ** 2)
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(t)).all() for t in flat)

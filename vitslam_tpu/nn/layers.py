@@ -1,0 +1,228 @@
+"""Transformer building blocks (flax.linen): Mlp, LayerScale, qk-norm
+Attention (self + cross), pre-norm blocks with RoPE.
+
+Reference parity: vggt.layers Block/Attention/Mlp/LayerScale (imported at
+aligned_vggt/heads/alignment_head.py:8-9) and
+aligned_vggt/layers/cross_attention.py (CrossAttention:15,
+CrossAttentionBlock:80, DecoderBlock:134).
+
+TPU-first choices: params are fp32 with a bf16 compute dtype (`dtype`),
+attention dispatches to the Pallas flash kernel via
+ops.scaled_dot_product_attention, and RoPE is applied functionally to q/k in
+fp32 before the kernel.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import scaled_dot_product_attention
+from .rope import apply_rope_1d, apply_rope_2d
+
+Dtype = jnp.dtype
+
+
+def _apply_rope(q, k, pos_q, pos_k, mode: Optional[str], base: float):
+    if mode is None or pos_q is None:
+        return q, k
+    fn = apply_rope_1d if mode == "1d" else apply_rope_2d
+    return fn(q, pos_q, base), fn(k, pos_k, base)
+
+
+class Mlp(nn.Module):
+    """Two-layer GELU MLP."""
+    hidden_features: int
+    out_features: int
+    bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, use_bias=self.bias,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_features, use_bias=self.bias,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class LayerScale(nn.Module):
+    """Per-channel learnable scaling, gamma init to `init_values`."""
+    dim: int
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_values), (self.dim,), jnp.float32
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional per-head qk LayerNorm and RoPE.
+
+    rope: None | '1d' | '2d' — positions passed at call time.
+    """
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = True
+    rope: Optional[str] = None
+    rope_base: float = 100.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos=None):
+        B, N, C = x.shape
+        h = self.num_heads
+        dh = self.dim // h
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, h, dh)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, h, dh)
+        q = jnp.swapaxes(q, 1, 2)  # (B, h, N, dh)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")(k)
+        q, k = _apply_rope(q, k, pos, pos, self.rope, self.rope_base)
+        out = scaled_dot_product_attention(q, k, v)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(self.dim, use_bias=self.proj_bias,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention with separate q/k/v projections and distinct RoPE
+    position sets for queries and keys.
+
+    Reference parity: aligned_vggt/layers/cross_attention.py:15-78 — note the
+    reference's SDPA all-ones-mask + B<7000 guard is a torch-2.5.1 crash
+    workaround with no semantics; the Pallas/XLA path needs no equivalent.
+    """
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = False
+    rope: Optional[str] = None
+    rope_base: float = 100.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, pos=None):
+        B, N, C = x.shape
+        M = y.shape[1]
+        h = self.num_heads
+        dh = self.dim // h
+        dense = lambda name: nn.Dense(self.dim, use_bias=self.qkv_bias,
+                                      dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        q = dense("q")(x).reshape(B, N, h, dh).swapaxes(1, 2)
+        k = dense("k")(y).reshape(B, M, h, dh).swapaxes(1, 2)
+        v = dense("v")(y).reshape(B, M, h, dh).swapaxes(1, 2)
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")(k)
+        pos_q, pos_k = pos if pos is not None else (None, None)
+        q, k = _apply_rope(q, k, pos_q, pos_k, self.rope, self.rope_base)
+        out = scaled_dot_product_attention(q, k, v)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(self.dim, use_bias=self.proj_bias,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-norm ViT block: x + ls1(attn(norm1 x)), x + ls2(mlp(norm2 x))."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = True
+    init_values: Optional[float] = None
+    rope: Optional[str] = None
+    rope_base: float = 100.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos=None):
+        ls = (lambda name: LayerScale(self.dim, self.init_values, name=name)) \
+            if self.init_values is not None else (lambda name: (lambda t: t))
+        attn = Attention(self.dim, self.num_heads, self.qkv_bias, self.proj_bias,
+                         self.qk_norm, self.rope, self.rope_base, self.dtype, name="attn")
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        x = x + ls("ls1")(attn(y, pos))
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        x = x + ls("ls2")(Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                              dtype=self.dtype, name="mlp")(y))
+        return x
+
+
+class CrossAttentionBlock(nn.Module):
+    """Pre-norm cross-attention block:
+    x + ls1(cross_attn(norm1(x), norm3(y))), x + ls2(mlp(norm2(x))).
+
+    Reference parity: aligned_vggt/layers/cross_attention.py:80-132.
+    """
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = True
+    init_values: Optional[float] = None
+    rope: Optional[str] = None
+    rope_base: float = 100.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, pos=None):
+        ls = (lambda name: LayerScale(self.dim, self.init_values, name=name)) \
+            if self.init_values is not None else (lambda name: (lambda t: t))
+        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        yn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(y)
+        ca = CrossAttention(self.dim, self.num_heads, self.qkv_bias, self.proj_bias,
+                            self.qk_norm, self.rope, self.rope_base, self.dtype, name="cross_attn")
+        x = x + ls("ls1")(ca(xn, yn, pos))
+        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        x = x + ls("ls2")(Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                              dtype=self.dtype, name="mlp")(xn))
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Self-attention + cross-attention + MLP decoder block.
+
+    Reference parity: aligned_vggt/layers/cross_attention.py:134-199 (defined
+    for completeness; unused by the shipped models, as in the reference).
+    """
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = True
+    init_values: Optional[float] = None
+    rope: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, pos=None):
+        pos_q, pos_k = pos if pos is not None else (None, None)
+        sa = Attention(self.dim, self.num_heads, self.qkv_bias, True,
+                       self.qk_norm, self.rope, dtype=self.dtype, name="self_attn")
+        ca = CrossAttention(self.dim, self.num_heads, self.qkv_bias, True,
+                            self.qk_norm, self.rope, dtype=self.dtype, name="cross_attn")
+        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        x = x + sa(xn, pos_q)
+        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        yn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm_y")(y)
+        x = x + ca(xn, yn, (pos_q, pos_k))
+        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(x)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(xn)
+        return x

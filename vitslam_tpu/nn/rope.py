@@ -1,0 +1,92 @@
+"""Rotary position embeddings (1-D and 2-D), functional jnp.
+
+Convention (matches the reference's behavior, aligned_vggt/layers/rope.py:
+44-75): for head dim D there are D/2 frequency bands
+``1 / base**(2i/D)``; the angle vector is duplicated across both halves and
+the rotation is the half-split ``(-x2, x1)`` form:
+
+    out = x * cos(theta) + [-x2, x1] * sin(theta)
+
+The 2-D variant (VGGT ``RotaryPositionEmbedding2D``; SURVEY.md §2.9a) splits
+the head dim into two halves and applies 1-D RoPE with the row positions to
+the first half and the column positions to the second half.
+
+Unlike the reference's per-(dim, seqlen, device) cos/sin cache + embedding
+gather, these are pure functions of integer position arrays — XLA constant-
+folds the trig for static positions and fuses the elementwise rotation into
+neighboring ops.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _rope_angles(positions: jax.Array, dim: int, base: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin of shape positions.shape + (dim,) with duplicated bands."""
+    half = dim // 2
+    exponents = jnp.arange(0, dim, 2, dtype=jnp.float32) / dim
+    inv_freq = 1.0 / (base ** exponents)  # (half,)
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., half)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (..., dim)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope_1d(tokens: jax.Array, positions: jax.Array, base: float = 100.0) -> jax.Array:
+    """Apply 1-D RoPE.
+
+    Args:
+        tokens: (B, H, N, D) with D even.
+        positions: (B, N) integer positions.
+    Returns:
+        (B, H, N, D), computed in fp32 and cast back to tokens.dtype.
+    """
+    d = tokens.shape[-1]
+    cos, sin = _rope_angles(positions, d, base)  # (B, N, D)
+    cos = cos[:, None]  # broadcast over heads
+    sin = sin[:, None]
+    x = tokens.astype(jnp.float32)
+    out = x * cos + _rotate_half(x) * sin
+    return out.astype(tokens.dtype)
+
+
+def apply_rope_2d(tokens: jax.Array, positions: jax.Array, base: float = 100.0) -> jax.Array:
+    """Apply 2-D RoPE: first half of the head dim rotated by row (y)
+    positions, second half by column (x) positions.
+
+    Args:
+        tokens: (B, H, N, D) with D divisible by 4.
+        positions: (B, N, 2) integer (row, col) grid positions.
+    Returns:
+        (B, H, N, D).
+    """
+    d = tokens.shape[-1]
+    assert d % 4 == 0, "2-D RoPE needs head dim divisible by 4"
+    half = d // 2
+    x = tokens.astype(jnp.float32)
+    y_part, x_part = x[..., :half], x[..., half:]
+    cos_y, sin_y = _rope_angles(positions[..., 0], half, base)
+    cos_x, sin_x = _rope_angles(positions[..., 1], half, base)
+    y_out = y_part * cos_y[:, None] + _rotate_half(y_part) * sin_y[:, None]
+    x_out = x_part * cos_x[:, None] + _rotate_half(x_part) * sin_x[:, None]
+    return jnp.concatenate([y_out, x_out], axis=-1).astype(tokens.dtype)
+
+
+def patch_grid_positions(batch: int, grid_h: int, grid_w: int, num_special: int) -> jax.Array:
+    """(B, num_special + grid_h*grid_w, 2) integer positions: special tokens
+    at (0, 0), patch tokens on the (row+1, col+1) grid.
+
+    Reference parity: VGGT PositionGetter + the +1 shift for special tokens
+    (aligned_vggt/heads/alignment_head.py:289-310).
+    """
+    rows = jnp.repeat(jnp.arange(1, grid_h + 1), grid_w)
+    cols = jnp.tile(jnp.arange(1, grid_w + 1), grid_h)
+    grid = jnp.stack([rows, cols], axis=-1)  # (P, 2)
+    special = jnp.zeros((num_special, 2), dtype=grid.dtype)
+    pos = jnp.concatenate([special, grid], axis=0)
+    return jnp.broadcast_to(pos, (batch,) + pos.shape)

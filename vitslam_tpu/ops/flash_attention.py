@@ -1,0 +1,173 @@
+"""Fused flash attention for TPU, written in Pallas.
+
+This is the framework's replacement for the reference's CUDA SDPA / flash
+attention path (reference: aligned_vggt/layers/cross_attention.py:64-67 and
+the VGGT backbone internals — SURVEY.md §2.9(b)). It implements the
+online-softmax streaming algorithm with the K/V loop as the innermost
+*sequential* grid dimension (TPU grid steps run in order, so VMEM scratch
+accumulators persist across K blocks).
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * Q/K/V blocks live in VMEM; accumulation in fp32 scratch.
+  * logits are computed on the MXU via jnp.dot with
+    preferred_element_type=float32; inputs may be bf16.
+  * ragged sequence lengths are handled by padding + masking the tail
+    K block (static shapes — no recompilation across chunk sizes).
+  * backward pass: custom VJP that recomputes attention with plain XLA ops
+    (exact, memory-fine at this model's trainable-path sizes: the
+    AlignmentHead attends over ~1.4k tokens; the 27k-token global attention
+    of the frozen backbone never needs gradients).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, kv_len: int, block_k: int, scale: float,
+):
+    """One (batch*head, q_block, k_block) grid step of flash attention."""
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+
+    # mask out K padding in the tail block
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scratch[:]  # (block_q, 1)
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)  # (block_q, block_k)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_scratch[:] = m_next
+    l_scratch[:] = l_next
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        l = l_scratch[:]
+        o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_forward(q, k, v, scale, block_q, block_k):
+    """q: (BH, Nq, D), k/v: (BH, Nk, D) -> (BH, Nq, D)."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    block_q = min(block_q, _round_up(nq, 128))
+    block_k = min(block_k, _round_up(nk, 128))
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+    if nq_pad != nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    if nk_pad != nk:
+        k = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
+
+    grid = (bh, nq_pad // block_q, nk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, kv_len=nk, block_k=block_k, scale=scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+    return out[:, :nq]
+
+
+def _xla_attention(q, k, v, scale):
+    """Reference XLA attention (used on CPU and as the VJP recompute path)."""
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_q, block_k):
+    return _flash_forward(q, k, v, scale, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    return _flash_forward(q, k, v, scale, block_q, block_k), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Flash attention over (B, H, N, D) tensors (self or cross: Nq != Nk ok).
+
+    Differentiable (exact XLA recompute backward). Head dim D should be a
+    multiple of 128 for peak MXU utilization but any D compiles (the lane
+    dimension is D; 64 works with relayout cost).
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+    out = _flash(qf, kf, vf, float(scale), block_q, block_k)
+    return out.reshape(b, h, nq, d)
