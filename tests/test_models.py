@@ -1,0 +1,168 @@
+"""Shape/dtype/finiteness tests for the backbone + heads on tiny configs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vitslam_tpu.models import (
+    Aggregator, AlignmentHead, CameraHead, DPTHead, TrackHead,
+)
+
+# tiny config: 28x42 images, patch 14 -> 2x3=6 patches
+H, W, PS = 28, 42, 14
+B, S = 1, 3
+EMBED = 32
+DIM_IN = 2 * EMBED
+
+
+@pytest.fixture(scope="module")
+def agg_out():
+    model = Aggregator(
+        img_size=H, patch_size=PS, embed_dim=EMBED, depth=2, num_heads=4,
+        patch_embed_depth=1, patch_embed_heads=4,
+        intermediate_layers=(0, 1, 1, 1), dtype=jnp.float32,
+    )
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(B, S, 3, H, W)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    taps, psi = model.apply(params, imgs)
+    return model, taps, psi, imgs
+
+
+class TestAggregator:
+    def test_output_shapes(self, agg_out):
+        _, taps, psi, _ = agg_out
+        assert psi == 5  # 1 camera + 4 register
+        P = psi + (H // PS) * (W // PS)
+        assert len(taps) == 4
+        for t in taps:
+            assert t.shape == (B, S, P, DIM_IN)
+            assert np.isfinite(np.asarray(t)).all()
+
+    def test_first_frame_tokens_distinct(self, agg_out):
+        # the camera token variants differ between frame 0 and others at init
+        model, taps, psi, imgs = agg_out
+        # identical image content for all frames -> difference must come
+        # from the first-frame token variant / global attention
+        same = jnp.broadcast_to(imgs[:, :1], imgs.shape)
+        params = model.init(jax.random.PRNGKey(1), same)
+        taps2, _ = model.apply(params, same)
+        t = np.asarray(taps2[-1])
+        assert not np.allclose(t[0, 0], t[0, 1], atol=1e-6)
+
+
+class TestCameraHead:
+    def test_iterative_refinement(self, agg_out):
+        _, taps, _, _ = agg_out
+        cam_tokens = taps[-1][:, :, 0, :]
+        head = CameraHead(dim_in=DIM_IN, trunk_depth=1, num_heads=4,
+                          num_iters=3, dtype=jnp.float32)
+        params = head.init(jax.random.PRNGKey(0), cam_tokens)
+        preds = head.apply(params, cam_tokens)
+        assert len(preds) == 3
+        for p in preds:
+            assert p.shape == (B, S, 9)
+            assert p.dtype == jnp.float32
+
+
+class TestDPTHead:
+    def test_depth_head(self, agg_out):
+        _, taps, psi, imgs = agg_out
+        head = DPTHead(dim_in=DIM_IN, output_dim=2, features=16,
+                       out_channels=(16, 16, 16, 16), activation="exp",
+                       patch_size=PS, dtype=jnp.float32)
+        params = head.init(jax.random.PRNGKey(0), taps, imgs, psi)
+        dmap, conf = head.apply(params, taps, imgs, psi)
+        assert dmap.shape == (B, S, H, W, 1)
+        assert conf.shape == (B, S, H, W)
+        assert (np.asarray(dmap) > 0).all()  # exp activation
+        assert (np.asarray(conf) >= 1).all()  # expp1
+
+    def test_point_head_inv_log(self, agg_out):
+        _, taps, psi, imgs = agg_out
+        head = DPTHead(dim_in=DIM_IN, output_dim=4, features=16,
+                       out_channels=(16, 16, 16, 16), activation="inv_log",
+                       patch_size=PS, dtype=jnp.float32)
+        params = head.init(jax.random.PRNGKey(0), taps, imgs, psi)
+        pmap, conf = head.apply(params, taps, imgs, psi)
+        assert pmap.shape == (B, S, H, W, 3)
+        assert np.isfinite(np.asarray(pmap)).all()
+
+
+class TestTrackHead:
+    def test_tracks(self, agg_out):
+        _, taps, psi, imgs = agg_out
+        head = TrackHead(dim_in=DIM_IN, patch_size=PS, feature_dim=16,
+                         iters=2, dtype=jnp.float32)
+        q = jnp.asarray([[[10.0, 12.0], [20.0, 5.0]]])
+        params = head.init(jax.random.PRNGKey(0), taps, imgs, psi, q)
+        tracks, vis, conf = head.apply(params, taps, imgs, psi, q)
+        assert tracks.shape == (B, S, 2, 2)
+        assert vis.shape == (B, S, 2)
+        assert np.isfinite(np.asarray(tracks)).all()
+
+
+class TestAlignmentHead:
+    def make(self):
+        return AlignmentHead(
+            patch_size=PS, in_dim=DIM_IN, embed_dim=32, dec_dim=16,
+            depth_aa=2, depth_decoder=1, num_heads=4,
+            num_memory_tokens=4, dtype=jnp.float32,
+        )
+
+    def test_first_chunk(self, agg_out):
+        _, taps, psi, _ = agg_out
+        head = self.make()
+        params = head.init(
+            jax.random.PRNGKey(0), taps[-1], (H, W), 1,
+        )
+        sim3, se3, mem, ovl = head.apply(params, taps[-1], (H, W), 1)
+        assert sim3.shape == (B, 1, 8)
+        assert se3.shape == (B, S - 1, 7)
+        assert mem.shape == (B, 4, 16)
+        P = 1 + psi + (H // PS) * (W // PS)
+        assert ovl.shape == (B, 2, P, 32)  # 1 first-frame col + 1 overlap
+        assert (np.asarray(sim3[..., -1]) > 0).all()  # exp scale
+        # memory tokens unit-norm
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(mem), axis=-1), 1.0, rtol=1e-5
+        )
+
+    def test_chained_chunks(self, agg_out):
+        _, taps, psi, _ = agg_out
+        head = self.make()
+        params = head.init(jax.random.PRNGKey(0), taps[-1], (H, W), 2)
+        sim3, se3, mem, ovl = head.apply(params, taps[-1], (H, W), 2)
+        assert ovl.shape[1] == 3  # 1 + overlap 2
+        # feed overlap + memory into the next chunk
+        sim3b, se3b, mem2, ovl2 = head.apply(
+            params, taps[-1], (H, W), 1, ovl, mem
+        )
+        assert sim3b.shape == (B, 1, 8)
+        assert np.isfinite(np.asarray(sim3b)).all()
+        assert ovl2.shape[1] == 2
+
+    def test_global_mode(self, agg_out):
+        _, taps, psi, _ = agg_out
+        head = AlignmentHead(
+            patch_size=PS, in_dim=DIM_IN, embed_dim=32, dec_dim=16,
+            depth_aa=2, depth_decoder=1, num_heads=4,
+            num_memory_tokens=0, temporal_attention=False, dtype=jnp.float32,
+        )
+        params = head.init(jax.random.PRNGKey(0), taps[-1], (H, W), 1)
+        sim3, se3, mem, ovl = head.apply(params, taps[-1], (H, W), 1)
+        assert mem is None
+        sim3b, _, _, _ = head.apply(params, taps[-1], (H, W), 1, ovl, None)
+        assert np.isfinite(np.asarray(sim3b)).all()
+
+    def test_dropout_train_mode(self, agg_out):
+        _, taps, psi, _ = agg_out
+        head = self.make()
+        params = head.init(jax.random.PRNGKey(0), taps[-1], (H, W), 1)
+        _, _, mem, ovl = head.apply(params, taps[-1], (H, W), 1)
+        out1 = head.apply(
+            params, taps[-1], (H, W), 1, ovl, mem, True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert np.isfinite(np.asarray(out1[0])).all()

@@ -1,0 +1,10 @@
+from .aggregator import Aggregator, PatchEmbedViT, expand_frame_tokens
+from .camera_head import CameraHead
+from .dpt_head import DPTHead
+from .track_head import TrackHead
+from .alignment_head import AlignmentHead
+
+__all__ = [
+    "Aggregator", "PatchEmbedViT", "expand_frame_tokens",
+    "CameraHead", "DPTHead", "TrackHead", "AlignmentHead",
+]

@@ -1,0 +1,204 @@
+"""Aggregator — the VGGT-style reconstruction transformer backbone.
+
+Architecture (behavior parity with the public VGGT-1B aggregator the
+reference depends on — SURVEY.md §2.9a, import site
+aligned_vggt/models/featureAligned_vggt.py:5,25):
+
+  * DINOv2-style ViT patch embedding (patch 14, embed 1024, own
+    transformer depth — ViT-L/14 for the flagship, configurable down for
+    tests), producing per-frame patch tokens;
+  * 1 camera token + ``num_register_tokens`` register tokens prepended per
+    frame, with distinct learned variants for the first frame vs the rest
+    (the first frame anchors the world frame);
+  * ``depth`` pairs of alternating attention blocks: **frame** attention
+    (self-attention within each frame over P tokens, batched (B*S, P, C))
+    then **global** attention (over all S*P tokens of the chunk, batched
+    (B, S*P, C)), both with 2-D RoPE (base 100) where special tokens sit at
+    grid position (0,0) and patches at (row+1, col+1);
+  * per layer-pair output = concat(frame_out, global_out) -> (B, S, P, 2C).
+
+TPU-first deviations from the reference:
+  * Only the **tapped** intermediate layers (default [4, 11, 17, 23]) are
+    materialized — the reference materializes all 24 then frees
+    (featureAligned_vggt.py:78-82, torch.cuda.empty_cache). Here the tap
+    mask is static so XLA never allocates the untapped activations.
+  * attention runs through the Pallas flash kernel (ops.attention); the
+    global attention over S*P ≈ 27k tokens is the dominant FLOP sink.
+  * compute dtype bf16, params fp32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import Block
+from ..nn.rope import patch_grid_positions
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def expand_frame_tokens(param: jax.Array, B: int, S: int) -> jax.Array:
+    """Expand a (2, K, C) learned token param into (B*S, K, C) where frame 0
+    uses variant 0 and frames 1..S-1 use variant 1.
+
+    Behavior parity with the reference's slice_expand_and_flatten
+    (aligned_vggt/heads/alignment_head.py:543-567).
+    """
+    first = jnp.broadcast_to(param[0][None], (B, 1) + param.shape[1:])
+    rest = jnp.broadcast_to(param[1][None, None], (B, S - 1) + param.shape[1:])
+    tokens = jnp.concatenate([first, rest], axis=1)  # (B, S, K, C)
+    return tokens.reshape(B * S, *param.shape[1:])
+
+
+class PatchEmbedViT(nn.Module):
+    """DINOv2-style ViT patch embedding: conv projection + transformer
+    blocks + final LayerNorm, returning patch tokens only.
+
+    Set ``depth=0`` for a pure conv projection (tiny test configs)."""
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    init_values: float = 1.0
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images (N, 3, H, W) in [0, 1] -> (N, P, embed_dim)."""
+        n, _, h, w = images.shape
+        x = jnp.transpose(images, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(n, gh * gw, self.embed_dim)
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, gh * gw, self.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos_embed.astype(self.dtype)
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qk_norm=False,
+                init_values=self.init_values,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        return x
+
+
+class Aggregator(nn.Module):
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    rope_base: float = 100.0
+    patch_embed_depth: int = 24
+    patch_embed_heads: int = 16
+    qk_norm: bool = True
+    init_values: float = 0.01
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+    intermediate_layers: Sequence[int] = (4, 11, 17, 23)
+
+    @property
+    def patch_start_idx(self) -> int:
+        return 1 + self.num_register_tokens
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> tuple[list[jax.Array], int]:
+        """images (B, S, 3, H, W) in [0, 1].
+
+        Returns:
+            tapped: list of (B, S, P_total, 2*embed_dim) outputs, one per
+                entry of ``intermediate_layers`` (ascending), each the
+                concat of that layer-pair's frame- and global-attention
+                outputs. P_total = patch_start_idx + grid_h * grid_w.
+            patch_start_idx: index of the first patch token.
+        """
+        B, S, C, H, W = images.shape
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 1, 3, 1, 1)
+        images = (images.astype(jnp.float32) - mean) / std
+
+        patch_tokens = PatchEmbedViT(
+            img_size=self.img_size,
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            depth=self.patch_embed_depth,
+            num_heads=self.patch_embed_heads,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="patch_embed",
+        )(images.reshape(B * S, C, H, W))
+        P = patch_tokens.shape[1]
+        gh, gw = H // self.patch_size, W // self.patch_size
+
+        camera_token = self.param(
+            "camera_token", nn.initializers.normal(stddev=1e-6),
+            (2, 1, self.embed_dim), jnp.float32,
+        )
+        register_token = self.param(
+            "register_token", nn.initializers.normal(stddev=1e-6),
+            (2, self.num_register_tokens, self.embed_dim), jnp.float32,
+        )
+        cam = expand_frame_tokens(camera_token, B, S).astype(self.dtype)
+        reg = expand_frame_tokens(register_token, B, S).astype(self.dtype)
+        x = jnp.concatenate([cam, reg, patch_tokens], axis=1)  # (B*S, T, C)
+        T = x.shape[1]
+
+        pos_frame = patch_grid_positions(B * S, gh, gw, self.patch_start_idx)
+        # global attention sees the same per-frame grid positions tiled over S
+        pos_global = pos_frame.reshape(B, S * T, 2)
+
+        block_cls = nn.remat(Block, static_argnums=()) if self.remat else Block
+        tap_by_layer: dict[int, jax.Array] = {}
+        tap_set = set(self.intermediate_layers)
+        for i in range(self.depth):
+            frame_blk = block_cls(
+                dim=self.embed_dim, num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
+                init_values=self.init_values, rope="2d",
+                rope_base=self.rope_base, dtype=self.dtype,
+                name=f"frame_block_{i}",
+            )
+            global_blk = block_cls(
+                dim=self.embed_dim, num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
+                init_values=self.init_values, rope="2d",
+                rope_base=self.rope_base, dtype=self.dtype,
+                name=f"global_block_{i}",
+            )
+            x = frame_blk(x, pos_frame)                      # (B*S, T, C)
+            frame_out = x
+            xg = x.reshape(B, S * T, self.embed_dim)
+            xg = global_blk(xg, pos_global)                  # (B, S*T, C)
+            x = xg.reshape(B * S, T, self.embed_dim)
+            if i in tap_set:
+                concat = jnp.concatenate([frame_out, x], axis=-1)
+                tap_by_layer[i] = concat.reshape(B, S, T, 2 * self.embed_dim)
+        # one entry per requested layer (duplicates allowed in tiny configs)
+        taps = [tap_by_layer[i] for i in self.intermediate_layers]
+        return taps, self.patch_start_idx
