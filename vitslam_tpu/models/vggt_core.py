@@ -1,0 +1,111 @@
+"""VGGTCore — the shared backbone + decoder-head stack used by all three
+aligned model variants (feature / point / pose).
+
+Mirrors the component set every reference variant instantiates
+(aligned_vggt/models/featureAligned_vggt.py:25-31,
+pointAligned_wrapped_vggt.py:21-27, poseAligned_wrapped_vggt.py): an
+Aggregator plus optional CameraHead / DPTHead(depth) / DPTHead(point) /
+TrackHead, with the DPT heads reading the tapped intermediate layers
+[4, 11, 17, 23] and the camera head reading the last tap's camera token.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .aggregator import Aggregator
+from .camera_head import CameraHead
+from .dpt_head import DPTHead
+from .track_head import TrackHead
+
+
+class VGGTCore(nn.Module):
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    patch_embed_depth: int = 24
+    patch_embed_heads: int = 16
+    intermediate_layers: Sequence[int] = (4, 11, 17, 23)
+    enable_camera: bool = True
+    enable_depth: bool = True
+    enable_point: bool = True
+    enable_track: bool = False
+    dpt_features: int = 256
+    dpt_out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    camera_trunk_depth: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        self.aggregator = Aggregator(
+            img_size=self.img_size, patch_size=self.patch_size,
+            embed_dim=self.embed_dim, depth=self.depth,
+            num_heads=self.num_heads,
+            patch_embed_depth=self.patch_embed_depth,
+            patch_embed_heads=self.patch_embed_heads,
+            intermediate_layers=tuple(self.intermediate_layers),
+            dtype=self.dtype, remat=self.remat,
+        )
+        dim_in = 2 * self.embed_dim
+        if self.enable_camera:
+            self.camera_head = CameraHead(
+                dim_in=dim_in, trunk_depth=self.camera_trunk_depth,
+                num_heads=self.num_heads, dtype=self.dtype,
+            )
+        if self.enable_depth:
+            self.depth_head = DPTHead(
+                dim_in=dim_in, output_dim=2, activation="exp",
+                conf_activation="expp1", features=self.dpt_features,
+                out_channels=tuple(self.dpt_out_channels),
+                patch_size=self.patch_size, dtype=self.dtype,
+            )
+        if self.enable_point:
+            self.point_head = DPTHead(
+                dim_in=dim_in, output_dim=4, activation="inv_log",
+                conf_activation="expp1", features=self.dpt_features,
+                out_channels=tuple(self.dpt_out_channels),
+                patch_size=self.patch_size, dtype=self.dtype,
+            )
+        if self.enable_track:
+            self.track_head = TrackHead(
+                dim_in=dim_in, patch_size=self.patch_size, dtype=self.dtype,
+            )
+
+    def encode(self, images: jax.Array):
+        """images (B, S, 3, H, W) -> (taps list, patch_start_idx)."""
+        return self.aggregator(images)
+
+    def decode_camera(self, taps) -> list[jax.Array]:
+        """-> list over refinement iterations of (B, S, 9) fp32 encodings."""
+        camera_tokens = taps[-1][:, :, 0, :]
+        return self.camera_head(camera_tokens)
+
+    def decode_depth(self, taps, images, patch_start_idx):
+        return self.depth_head(taps, images, patch_start_idx)
+
+    def decode_point(self, taps, images, patch_start_idx):
+        return self.point_head(taps, images, patch_start_idx)
+
+    def decode_track(self, taps, images, patch_start_idx, query_points):
+        return self.track_head(taps, images, patch_start_idx, query_points)
+
+    def __call__(self, images: jax.Array):
+        """Plain single-chunk forward (no inter-chunk alignment): returns the
+        raw predictions dict. Useful for parity tests and the weight
+        converter."""
+        taps, psi = self.encode(images)
+        out = {}
+        if self.enable_camera:
+            out["pose_enc_list"] = self.decode_camera(taps)
+        if self.enable_depth:
+            out["depth"], out["depth_conf"] = self.decode_depth(taps, images, psi)
+        if self.enable_point:
+            out["world_points"], out["world_points_conf"] = self.decode_point(
+                taps, images, psi
+            )
+        return out

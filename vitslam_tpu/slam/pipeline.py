@@ -1,0 +1,152 @@
+"""ChunkedPipeline — the host-side streaming driver around the jitted
+per-chunk model step.
+
+Reference parity: the chunk loops at training/run_model.py:294-340 (training
+forward: random chunk width/overlap, context threading, GT alignment) and
+training/training_metrics.py:616-657 (apply_sequence_to_model: fixed-shape
+no_grad streaming with per-chunk CPU offload).
+
+TPU-first design:
+  * the per-chunk step is one jit-compiled function of
+    (params, images_chunk, state) -> (outputs, state); first-chunk and
+    continuation chunks trace separately (different state structure), and
+    XLA caches one executable per (S, H, W, overlap) bucket;
+  * chunk outputs are asynchronously fetched to host right after dispatch of
+    the next chunk (double-buffered compute/transfer overlap — the analog of
+    the reference's moveDictListItemToCPU + empty_cache), so HBM usage is
+    flat in sequence length;
+  * only the fixed-shape recurrent state (overlap/memory tokens, pose tail)
+    stays device-resident across chunks.
+"""
+from __future__ import annotations
+
+import functools
+import random as pyrandom
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import pad_to_4x4
+from .chunking import chunk_batch, generate_chunks, merge_chunk_outputs
+from .gt_alignment import align_outputs, per_chunk_scale_from_poses
+
+
+class ChunkedPipeline:
+    """Drives a chunk-aligned model over an arbitrary-length sequence."""
+
+    def __init__(self, model, params=None, train: bool = False):
+        self.model = model
+        self.params = params
+        self.train = train
+        self._step = jax.jit(
+            self._apply, static_argnums=(2, 5), donate_argnums=(3,)
+        )
+
+    # --- model plumbing ---------------------------------------------------
+    def _apply(self, params, images, num_overlap, state, gt_pose0, train, rng):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return self.model.apply(
+            params, images, num_overlap, state, gt_pose0, train, rngs=rngs
+        )
+
+    def init_params(self, rng: jax.Array, sample_images: jax.Array,
+                    num_overlap: int = 1):
+        """Initialize parameters by tracing the first-chunk path (which
+        creates the superset of parameters, incl. the memory hybrid-init)."""
+        params = self.model.init(rng, sample_images, num_overlap)
+        self.params = params
+        return params
+
+    def step(self, images, num_overlap: int, state=None, gt_pose0=None,
+             rng: Optional[jax.Array] = None):
+        """One jitted chunk step. images (B, S, 3, H, W)."""
+        return self._step(
+            self.params, images, num_overlap, state, gt_pose0, self.train, rng
+        )
+
+    # --- sequence driver ----------------------------------------------------
+    def run_sequence(
+        self,
+        batch: dict,
+        sample_mode: str = "chunk_overlap",
+        chunk_width: int = 5,
+        num_overlap: int = 1,
+        gt_alignment_type: str = "none",
+        seq_width: int = -1,
+        rng: Optional[jax.Array] = None,
+        keep_images: bool = False,
+        merge_overlap: Optional[int] = None,
+        py_rng: Optional[pyrandom.Random] = None,
+    ) -> tuple[dict, dict]:
+        """Run the chunk-and-align loop over a full batch.
+
+        Args:
+            batch: dict with 'images' (B, N, 3, H, W) and optional GT keys
+                ('extrinsics', 'depths', 'point_masks', 'world_points', ...).
+            sample_mode: chunk_gt | chunk_overlap | all | two_chunks.
+            chunk_width / num_overlap: chunking parameters (static shapes).
+            gt_alignment_type: GT alignment applied after merging.
+            merge_overlap: frames deduped at merge; defaults to
+                ``num_overlap`` (inference). Training passes 0 so the merged
+                outputs/GT keep the duplicated overlap frames
+                (run_model.py:338).
+        Returns:
+            (predictions dict, merged GT batch dict) — merged along frames.
+        """
+        images = batch["images"]
+        N = images.shape[1]
+        indices = generate_chunks(N, sample_mode, chunk_width, num_overlap,
+                                  rng=py_rng)
+        chunks = chunk_batch(batch, indices)
+        use_gt = sample_mode in ("chunk_gt", "two_chunks")
+
+        state = None
+        chunk_outputs: list[dict] = []
+        pending = None  # (outputs device pytree, images) for async offload
+        for i, chunk in enumerate(chunks):
+            gt_poses = None
+            if use_gt and "extrinsics" in chunk:
+                gt_poses = pad_to_4x4(
+                    jnp.asarray(chunk["extrinsics"], jnp.float32)
+                )
+            step_rng = None
+            if self.train and rng is not None:
+                rng, step_rng = jax.random.split(rng)
+            outputs, state = self.step(
+                jnp.asarray(chunk["images"]), num_overlap, state, gt_poses,
+                step_rng,
+            )
+            if self.train:
+                # keep on device — gradients flow through the whole loop
+                chunk_outputs.append(outputs)
+            else:
+                # async host fetch of the previous chunk while this one runs
+                if pending is not None:
+                    chunk_outputs.append(self._fetch(pending, keep_images))
+                pending = (outputs, chunk["images"] if keep_images else None)
+        if pending is not None:
+            chunk_outputs.append(self._fetch(pending, keep_images))
+
+        if gt_alignment_type == "per_chunk_scale_from_poses":
+            chunk_outputs = per_chunk_scale_from_poses(chunk_outputs, chunks)
+
+        mo = num_overlap if merge_overlap is None else merge_overlap
+        if sample_mode in ("chunk_gt", "two_chunks", "all"):
+            mo = 0
+        predictions = merge_chunk_outputs(chunk_outputs, mo)
+        merged_batch = merge_chunk_outputs(chunks, mo)
+        predictions = align_outputs(
+            predictions, merged_batch, gt_alignment_type, seq_width,
+            image_size_hw=tuple(images.shape[-2:]),
+        )
+        return predictions, merged_batch
+
+    @staticmethod
+    def _fetch(pending, keep_images: bool) -> dict:
+        outputs, imgs = pending
+        host = jax.tree_util.tree_map(np.asarray, outputs)
+        if keep_images and imgs is not None:
+            host["images"] = np.asarray(imgs)
+        return host
