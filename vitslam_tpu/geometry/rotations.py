@@ -41,7 +41,10 @@ def quat_to_mat(quat: jax.Array) -> jax.Array:
 
 
 def _sqrt_positive_part(x: jax.Array) -> jax.Array:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # where-guarded so the VJP is 0 (not 0/0=NaN) on the clipped branch:
+    # sqrt(max(x,0)) would propagate NaN through zero cotangents at x<=0.
+    positive = x > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, x, 1.0)), 0.0)
 
 
 def mat_to_quat(matrix: jax.Array) -> jax.Array:

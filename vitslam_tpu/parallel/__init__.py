@@ -1,0 +1,12 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    sync_global_devices,
+)
+
+__all__ = [
+    "batch_sharding", "make_mesh", "replicate", "shard_batch",
+    "sync_global_devices",
+]
