@@ -1,0 +1,168 @@
+"""Data-layer tests: preprocessing geometry consistency, dataset readers on
+synthetic fixtures, LiDAR splat correctness, dynamic batching."""
+import numpy as np
+import pytest
+
+from vitslam_tpu.data import (
+    CommonConfig, ComposedDataset, DynamicDataset, KITTIOdometryDataset,
+    VKittiDataset, collate, depth_to_points, get_target_shape,
+    lidar_to_depth, process_one_image, threshold_depth_map,
+)
+from vitslam_tpu.utils.fixtures import (
+    write_kitti_odometry_fixture, write_vkitti_fixture,
+)
+
+CC = CommonConfig(img_size=56, patch_size=14, chunk_subsampling=(1, 2))
+
+
+class TestPreprocess:
+    def test_target_shape_patch_multiple(self):
+        hw = get_target_shape(1.5, img_size=518, patch_size=14)
+        assert hw[1] == 518
+        assert hw[0] % 14 == 0
+
+    def test_threshold_depth(self):
+        d = np.array([[1.0, 90.0, np.inf, -1.0]])
+        out = threshold_depth_map(d, max_depth=80)
+        assert out[0, 1] == 0 and out[0, 2] == 0
+        assert out[0, 0] == 1.0
+
+    def test_depth_to_points_roundtrip(self):
+        H, W = 8, 12
+        depth = np.full((H, W), 5.0, np.float32)
+        K = np.array([[10.0, 0, W / 2], [0, 10.0, H / 2], [0, 0, 1]])
+        extr = np.eye(4)[:3]
+        world, cam, mask = depth_to_points(depth, extr, K)
+        assert mask.all()
+        # center pixel ray ~ optical axis
+        np.testing.assert_allclose(cam[H // 2, W // 2, 2], 5.0, atol=1e-5)
+        # identity pose -> world == cam
+        np.testing.assert_allclose(world, cam, atol=1e-5)
+
+    def test_process_one_image_shapes(self):
+        rng = np.random.default_rng(0)
+        img = (rng.uniform(0, 255, (50, 100, 3))).astype(np.uint8)
+        depth = rng.uniform(1, 10, (50, 100)).astype(np.float32)
+        K = np.array([[80.0, 0, 50], [0, 80.0, 25], [0, 0, 1]])
+        extr = np.eye(4)[:3]
+        target = np.array([28, 56])
+        out_img, out_d, e, k, world, cam, mask, _ = process_one_image(
+            img, depth, extr, K, np.array([50, 100]), target
+        )
+        assert out_img.shape == (3, 28, 56)
+        assert out_img.max() <= 1.0
+        assert out_d.shape == (28, 56)
+        assert world.shape == (28, 56, 3)
+        # K scaled by 56/100
+        np.testing.assert_allclose(k[0, 0], 80.0 * 0.56, rtol=1e-5)
+
+
+class TestLidarToDepth:
+    def test_single_point_exact(self):
+        K = np.array([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
+        extr = np.eye(4)[:3]
+        # a point at integer pixel (10, 8), depth 4
+        x = (10 - 16) * 4 / 50
+        y = (8 - 12) * 4 / 50
+        pts = np.array([[x, y, 4.0, 1.0]]).T
+        d = lidar_to_depth(pts, K, extr, (24, 32))
+        np.testing.assert_allclose(d[8, 10], 4.0, atol=1e-5)
+        assert (d > 0).sum() == 1  # integer hit -> single neighbor
+
+    def test_zbuffer_keeps_nearest(self):
+        K = np.array([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
+        extr = np.eye(4)[:3]
+
+        def pt(depth):
+            return [(10 - 16) * depth / 50, (8 - 12) * depth / 50, depth, 1.0]
+
+        pts = np.array([pt(4.0), pt(9.0)]).T
+        d = lidar_to_depth(pts, K, extr, (24, 32))
+        np.testing.assert_allclose(d[8, 10], 4.0, atol=1e-5)
+
+    def test_eps_window_average(self):
+        K = np.array([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
+        extr = np.eye(4)[:3]
+
+        def pt(depth):
+            return [(10 - 16) * depth / 50, (8 - 12) * depth / 50, depth, 1.0]
+
+        pts = np.array([pt(4.0), pt(4.01)]).T
+        d = lidar_to_depth(pts, K, extr, (24, 32), eps=0.05)
+        np.testing.assert_allclose(d[8, 10], 4.005, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def vkitti_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vkitti"))
+    write_vkitti_fixture(root, scene="01", setting="clone", n_frames=10,
+                         hw=(56, 84))
+    return root
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    write_kitti_odometry_fixture(root, seq="00", n_frames=8, hw=(56, 84))
+    return root
+
+
+class TestVKitti:
+    def test_reader(self, vkitti_root):
+        ds = VKittiDataset(CC, split="train", VKitti_DIR=vkitti_root,
+                           sequence_ids=["01"], settings=["clone"])
+        assert ds.sequence_list_len == 1
+        assert ds.seq_frame_num[0] == 10
+        assert ds.get_seq_name(0) == "Scene01_clone"
+        batch = ds.get_data(seq_index=0, img_per_seq=4, aspect_ratio=1.5)
+        assert batch["images"].shape[0] == 4
+        assert batch["images"].shape[1] == 3
+        assert batch["extrinsics"].shape == (4, 3, 4)
+        assert batch["depths"].shape == batch["point_masks"].shape
+        assert batch["point_masks"].sum() > 0
+        assert np.isfinite(batch["world_points"]).all()
+
+    def test_explicit_ids(self, vkitti_root):
+        ds = VKittiDataset(CC, split="test", VKitti_DIR=vkitti_root,
+                           sequence_ids=["01"], settings=["clone"])
+        batch = ds.get_data(seq_index=0, ids=[0, 3, 7], aspect_ratio=1.0)
+        np.testing.assert_array_equal(batch["ids"], [0, 3, 7])
+        assert batch["images"].shape[0] == 3
+
+
+class TestKITTIOdometry:
+    def test_reader(self, kitti_root):
+        ds = KITTIOdometryDataset(CC, split="train", KITTIOD_DIR=kitti_root,
+                                  sequence_ids=["00"])
+        assert ds.sequence_list_len == 1
+        batch = ds.get_data(seq_index=0, img_per_seq=4, aspect_ratio=1.5)
+        assert batch["images"].shape[0] == 4
+        # ones depth placeholder (0 only in aspect-padding rows)
+        assert set(np.unique(batch["depths"])) <= {0.0, 1.0}
+        assert (batch["depths"] == 1.0).mean() > 0.5
+        # w2c inversion: w2c @ c2w == I for frame 0 (identity pose)
+        e0 = batch["extrinsics"][0]
+        np.testing.assert_allclose(e0[:3, :3], np.eye(3), atol=1e-5)
+
+
+class TestDynamic:
+    def test_dynamic_batching(self, vkitti_root):
+        ds = VKittiDataset(CC, split="train", VKitti_DIR=vkitti_root,
+                           sequence_ids=["01"], settings=["clone"])
+        dyn = DynamicDataset([ds], img_nums=(3, 5), max_img_per_gpu=8,
+                             seed=1, steps_per_epoch=3)
+        batches = list(dyn.get_loader(epoch=0))
+        assert len(batches) == 3
+        for b in batches:
+            B, S = b["images"].shape[:2]
+            assert 3 <= S <= 5
+            assert B * S <= 8 or B == 1
+        # deterministic per (seed, epoch)
+        again = list(dyn.get_loader(epoch=0))
+        np.testing.assert_array_equal(batches[0]["images"], again[0]["images"])
+
+    def test_collate(self):
+        s = {"images": np.zeros((2, 3, 4, 4)), "seq_name": "a", "frame_num": 2}
+        out = collate([s, s])
+        assert out["images"].shape == (2, 2, 3, 4, 4)
+        assert out["seq_name"] == ["a", "a"]

@@ -1,0 +1,64 @@
+"""Model presets.
+
+``flagship()`` mirrors the reference's shipped configuration: VGGT-1B-scale
+backbone (DINOv2-L patch embed: 24 blocks @ 1024; 24 alternating frame/
+global attention pairs @ 1024; taps [4, 11, 17, 23]) + AlignmentHead with 8
+memory tokens and temporal attention, camera/depth/point heads enabled,
+track head off (reference: every config sets enable_track False —
+SURVEY.md §2.9a).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .feature_aligned import FeatureAlignedVGGT
+from .point_aligned import PointAlignedVGGT
+from .pose_aligned import PoseAlignedVGGT
+
+FLAGSHIP = dict(
+    img_size=518, patch_size=14, embed_dim=1024, depth=24, num_heads=16,
+    patch_embed_depth=24, intermediate_layers=(4, 11, 17, 23),
+    enable_camera=True, enable_depth=True, enable_point=True,
+    enable_track=False, dtype=jnp.bfloat16,
+)
+
+SMALL = dict(
+    img_size=224, patch_size=14, embed_dim=384, depth=6, num_heads=6,
+    patch_embed_depth=4, intermediate_layers=(1, 2, 4, 5),
+    enable_camera=True, enable_depth=True, enable_point=True,
+    enable_track=False, dtype=jnp.bfloat16,
+)
+
+
+def flagship(**overrides) -> FeatureAlignedVGGT:
+    kw = dict(FLAGSHIP)
+    kw.update(overrides)
+    return FeatureAlignedVGGT(
+        num_memory_tokens=kw.pop("num_memory_tokens", 8),
+        temporal_attention=kw.pop("temporal_attention", True),
+        **kw,
+    )
+
+
+def small_feature_aligned(**overrides) -> FeatureAlignedVGGT:
+    kw = dict(SMALL)
+    kw.update(overrides)
+    return FeatureAlignedVGGT(
+        num_memory_tokens=kw.pop("num_memory_tokens", 8),
+        temporal_attention=kw.pop("temporal_attention", True),
+        **kw,
+    )
+
+
+def flagship_point_aligned(**overrides) -> PointAlignedVGGT:
+    kw = dict(FLAGSHIP)
+    kw.update(dict(enable_depth=False))
+    kw.update(overrides)
+    return PointAlignedVGGT(**kw)
+
+
+def flagship_pose_aligned(**overrides) -> PoseAlignedVGGT:
+    kw = dict(FLAGSHIP)
+    kw.update(dict(enable_point=False))
+    kw.update(overrides)
+    return PoseAlignedVGGT(**kw)
