@@ -92,7 +92,7 @@ class DynamicDataset:
             seq_index = int(rng.integers(0, ds.sequence_list_len))
             samples.append(
                 ds.get_data(seq_index=seq_index, img_per_seq=img_per_seq,
-                            aspect_ratio=aspect)
+                            aspect_ratio=aspect, rng=rng)
             )
         return collate(samples)
 

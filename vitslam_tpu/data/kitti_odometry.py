@@ -68,11 +68,12 @@ class KITTIOdometryDataset(BaseDataset):
         return self.sequence_list[seq_index].split("/")[1]
 
     def get_data(self, seq_index=None, img_per_seq=None, seq_name=None,
-                 ids=None, aspect_ratio: float = 1.0) -> dict:
-        import random as pyrandom
+                 ids=None, aspect_ratio: float = 1.0, rng=None) -> dict:
+        import numpy as _np
 
+        rng = rng or _np.random.default_rng()
         if self.inside_random and ids is None:
-            seq_index = pyrandom.randint(0, self.sequence_list_len - 1)
+            seq_index = int(rng.integers(0, self.sequence_list_len))
         if seq_name is None:
             seq_name = self.sequence_list[seq_index]
         seq_id = seq_name.split("/")[1]
@@ -102,7 +103,7 @@ class KITTIOdometryDataset(BaseDataset):
             else self.adjust_frame_num(len(w2c))
         img_per_seq, aspect_ratio = self.resolve_sampling(img_per_seq, aspect_ratio)
         if ids is None:
-            ids = self.sample_ids(frame_num, img_per_seq)
+            ids = self.sample_ids(frame_num, img_per_seq, rng)
         elif self.subsampling_step > 1:
             ids = np.asarray(ids) * self.subsampling_step
         target_shape = self.get_target_shape(aspect_ratio)

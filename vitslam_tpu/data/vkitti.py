@@ -69,11 +69,12 @@ class VKittiDataset(BaseDataset):
         return "_".join(self.sequence_list[seq_index].split("/")[:2])
 
     def get_data(self, seq_index=None, img_per_seq=None, seq_name=None,
-                 ids=None, aspect_ratio: float = 1.0) -> dict:
-        import random as pyrandom
+                 ids=None, aspect_ratio: float = 1.0, rng=None) -> dict:
+        import numpy as _np
 
+        rng = rng or _np.random.default_rng()
         if self.inside_random and ids is None:
-            seq_index = pyrandom.randint(0, self.sequence_list_len - 1)
+            seq_index = int(rng.integers(0, self.sequence_list_len))
         if seq_name is None:
             seq_name = self.sequence_list[seq_index]
         camera_id = int(seq_name[-1])
@@ -90,7 +91,7 @@ class VKittiDataset(BaseDataset):
             else self.adjust_frame_num(len(extr_rows))
         img_per_seq, aspect_ratio = self.resolve_sampling(img_per_seq, aspect_ratio)
         if ids is None:
-            ids = self.sample_ids(frame_num, img_per_seq)
+            ids = self.sample_ids(frame_num, img_per_seq, rng)
         elif self.subsampling_step > 1:
             ids = np.asarray(ids) * self.subsampling_step
         target_shape = self.get_target_shape(aspect_ratio)
