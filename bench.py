@@ -20,6 +20,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compilation cache: the flagship backbone is large and the
+# driver re-runs this file every round — cached executables cut minutes of
+# recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 BASELINE_FPS = 19.0  # reference README.md:130 (feature-aligned, ~12GB GPU)
 
 

@@ -1,0 +1,226 @@
+"""Config system, checkpointing, torch-convert bridge, and a miniature
+end-to-end run_model integration test (train a few steps + test mode) on
+synthetic fixture data."""
+import os
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vitslam_tpu.config import compose, instantiate
+from vitslam_tpu.io import (
+    CheckpointManager, export_torch_style, import_torch_style,
+    load_checkpoint, load_model_params, save_checkpoint,
+)
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+class TestConfig:
+    def test_compose_defaults_and_interpolation(self, tmp_path):
+        (tmp_path / "base.yaml").write_text("a: 1\nshared:\n  x: 10\n")
+        (tmp_path / "exp.yaml").write_text(
+            "defaults:\n  - base.yaml\n  - _self_\n"
+            "a: 2\nb: ${a}\nc: ${shared.x}\nname: exp_${a}\n"
+        )
+        cfg = compose("exp", str(tmp_path))
+        assert cfg.a == 2
+        assert cfg.b == 2  # type-preserving interpolation
+        assert cfg.c == 10
+        assert cfg.name == "exp_2"
+        assert cfg.shared.x == 10
+
+    def test_instantiate(self):
+        node = {
+            "_target_": "vitslam_tpu.train.losses.MultitaskLoss",
+            "cameraPose": {"weight": 1.0},
+            "total_steps": 10,
+        }
+        obj = instantiate(node)
+        from vitslam_tpu.train.losses import MultitaskLoss
+        assert isinstance(obj, MultitaskLoss)
+        assert obj.cameraPose == {"weight": 1.0}
+
+    def test_shipped_configs_compose(self):
+        for name in [
+            "train_featureAlignedVGGT_vkitti",
+            "test_featureAlignedVGGT_vkitti",
+            "test_pointAlignedWrappedVGGT_vkitti",
+            "test_poseAlignedWrappedVGGT_vkitti",
+        ]:
+            cfg = compose(name, osp.join(REPO, "configs"))
+            assert "model" in cfg and "_target_" in cfg["model"]
+            # model instantiates (datasets need data dirs, skip those)
+            model = instantiate(cfg["model"])
+            assert model is not None
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        tree = {"a": np.arange(5.0), "b": {"c": np.ones((2, 2))}}
+        p = save_checkpoint(str(tmp_path / "x.ckpt"), tree)
+        back = load_checkpoint(p)
+        np.testing.assert_array_equal(back["a"], tree["a"])
+
+    def test_manager_latest_link_and_resume(self, tmp_path):
+        m = CheckpointManager(str(tmp_path), "exp", save_freq=2, keep=2)
+        tree = {"w": np.zeros(3)}
+        assert m.maybe_save(1, tree) is None
+        p = m.maybe_save(2, tree)
+        assert p and osp.exists(p)
+        assert m.resume_path() is not None
+        m.maybe_save(4, {"w": np.ones(3)})
+        back = load_checkpoint(m.resume_path())
+        np.testing.assert_array_equal(back["w"], np.ones(3))
+        m.finish()
+        assert m.resume_path() is None
+
+    def test_dangling_link_guard(self, tmp_path):
+        m = CheckpointManager(str(tmp_path), "exp", save_freq=1)
+        p = m.save(1, {"w": np.zeros(2)})
+        os.remove(p)  # break the target
+        assert m.resume_path() is None
+
+    def test_load_model_params_fallback(self, tmp_path):
+        template = {"params": {"head": {"w": np.zeros(2)},
+                               "backbone": {"w": np.zeros(3)}}}
+        save_checkpoint(str(tmp_path / "head.ckpt"),
+                        {"params": {"head": {"w": np.ones(2)}}})
+        save_checkpoint(str(tmp_path / "base.ckpt"),
+                        {"params": {"backbone": {"w": 2 * np.ones(3)},
+                                    "head": {"w": 9 * np.ones(2)}}})
+        out = load_model_params(str(tmp_path / "head.ckpt"), template,
+                                fallback_path=str(tmp_path / "base.ckpt"))
+        np.testing.assert_array_equal(out["params"]["head"]["w"], np.ones(2))
+        np.testing.assert_array_equal(out["params"]["backbone"]["w"], 2 * np.ones(3))
+
+
+class TestTorchConvert:
+    def test_roundtrip_with_scan_stacking(self):
+        from vitslam_tpu.models import Aggregator
+        from vitslam_tpu.utils.testing import tiny_model_kwargs
+
+        kw = tiny_model_kwargs()
+        model = Aggregator(
+            img_size=kw["img_size"], patch_size=kw["patch_size"],
+            embed_dim=kw["embed_dim"], depth=kw["depth"],
+            num_heads=kw["num_heads"], patch_embed_depth=1,
+            intermediate_layers=(0, 1), dtype=jnp.float32,
+        )
+        imgs = jnp.zeros((1, 2, 3, 28, 42))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+
+        torch_style = export_torch_style(params)
+        # scanned layers exported per-index
+        assert any(".0." in k for k in torch_style)
+        assert any(".1." in k for k in torch_style)
+        # linear kernels transposed
+        restored, missing = import_torch_style(torch_style, params)
+        assert not missing
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+@pytest.mark.slow
+class TestRunModelIntegration:
+    def test_train_then_test_tiny(self, tmp_path):
+        """Miniature run_model flow: compose a tiny config over the fixture
+        dataset, train a few steps, then run test mode."""
+        import yaml
+        from vitslam_tpu.utils.fixtures import write_vkitti_fixture
+        from vitslam_tpu.cli import build_from_config
+        from vitslam_tpu.train.trainer import Trainer
+
+        root = str(tmp_path / "vkitti")
+        write_vkitti_fixture(root, n_frames=10, hw=(28, 42))
+
+        common = {
+            "_target_": "vitslam_tpu.data.base.CommonConfig",
+            "img_size": 28, "patch_size": 14, "fix_aspect_ratio": 1.5,
+            "training": True, "inside_random": True,
+            "chunk_subsampling": [1, 1],
+        }
+        cfg = {
+            "exp_name": "tiny_it", "img_size": 28, "patch_size": 14,
+            "seed_value": 0, "max_steps": 2, "val_epoch_freq": 1000,
+            "num_overlap": [1, 1], "chunk_width": [3, 3],
+            "sample_mode": "chunk_overlap",
+            "gt_alignment_type": "scale_from_depths", "mode": "train",
+            "logging": {"log_dir": str(tmp_path / "logs"), "log_freq": 1},
+            "checkpoint": {"save_dir": str(tmp_path / "ckpt"), "save_freq": 2,
+                           "resume_from_checkpoint": False},
+            "optim": {"frozen_module_names":
+                      ["*aggregator*", "*camera_head*", "*depth_head*"],
+                      "options": {"lr": {"max_value": 1e-4,
+                                         "min_value": 1e-8,
+                                         "linear_steps": 0.05}}},
+            "loss": {"_target_": "vitslam_tpu.train.losses.MultitaskLoss",
+                     "cameraPose": {"weight": 1.0, "loss_type": "l1"},
+                     "perChunkReg": {"weight": 5.0}},
+            "metrics": {
+                "_target_": "vitslam_tpu.eval.orchestrator.Metrics",
+                "mode": "test", "overlap": [1, 1], "chunk_width": [3, 3],
+                "full_seq_sample_mode": "chunk_overlap",
+                "gt_alignment_type": "scale_from_poses",
+                "use_random_sequences": True,
+                "max_points_for_icp_full_seq": 2000,
+                "trajectory_metrics": [
+                    {"_target_": "vitslam_tpu.eval.trajectory.AbsoluteTrajectoryError"},
+                    {"_target_": "vitslam_tpu.eval.trajectory.RelativePoseError"},
+                ],
+                "reconstruction_metrics": [
+                    {"_target_": "vitslam_tpu.eval.reconstruction.ChamferDistanceMetrics"},
+                ],
+            },
+            "model": {
+                "_target_": "vitslam_tpu.models.feature_aligned.FeatureAlignedVGGT",
+                "img_size": 28, "patch_size": 14, "embed_dim": 32,
+                "depth": 2, "num_heads": 4, "patch_embed_depth": 1,
+                "intermediate_layers": [0, 1, 1, 1],
+                "num_memory_tokens": 4, "align_embed_dim": 32,
+                "align_dec_dim": 16, "dtype": "float32",
+            },
+            "data": {
+                "train": {
+                    "_target_": "vitslam_tpu.data.dynamic.DynamicDataset",
+                    "max_img_per_gpu": 8, "img_nums": [6, 8],
+                    "dataset_configs_or_datasets": [{
+                        "_target_": "vitslam_tpu.data.vkitti.VKittiDataset",
+                        "split": "train", "VKitti_DIR": root,
+                        "sequence_ids": ["01"], "settings": ["clone"],
+                        "common_conf": common,
+                    }],
+                },
+                "test": {
+                    "_target_": "vitslam_tpu.data.dynamic.DynamicDataset",
+                    "max_img_per_gpu": 8, "img_nums": [6, 8],
+                    "dataset_configs_or_datasets": [{
+                        "_target_": "vitslam_tpu.data.vkitti.VKittiDataset",
+                        "split": "test", "VKitti_DIR": root,
+                        "sequence_ids": ["01"], "settings": ["clone"],
+                        "common_conf": {**common, "training": False},
+                    }],
+                },
+            },
+        }
+        # dtype strings resolve via a tiny hook: convert here
+        cfg["model"]["dtype"] = jnp.float32
+
+        model, loss, metrics, train_data, val_data, params = build_from_config(cfg)
+        trainer = Trainer(cfg, model, loss, train_data=train_data,
+                          val_data=val_data, metrics=metrics)
+        state = trainer.fit()
+        assert int(state.step) == 2
+        # checkpoint was written at step 2 but link removed on finish
+        assert trainer.ckpt.resume_path() is None
+        ckpts = os.listdir(str(tmp_path / "ckpt"))
+        assert any(c.endswith(".ckpt") for c in ckpts)
+
+        # test mode on the trained params
+        res = trainer.test()
+        assert any("ate_rmse" in k for k in res)
+        assert any("chamfer" in k for k in res)
+        assert all(np.isfinite(v) for v in res.values())

@@ -47,7 +47,7 @@ def find_subsample_factor(gt_mask: np.ndarray, max_points: int) -> int:
     m = gt_mask.reshape(B, S, H, W, 1).astype(np.float32)
 
     def count(factor: int) -> int:
-        sub = _resize_bshw(m, H // factor, W // factor)
+        sub = _resize_bshw(m, max(1, H // factor), max(1, W // factor))
         return int((sub > 0.5).sum())
 
     valid = int(gt_mask.sum())
@@ -135,7 +135,7 @@ def prepare_data_for_metrics(
 
     if max_points_icp and gt_mask.sum() > max_points_icp:
         f = find_subsample_factor(gt_mask, max_points_icp)
-        h, w = H // f, W // f
+        h, w = max(1, H // f), max(1, W // f)
         pred_points = _resize_bshw(pred_points, h, w)
         gt_points = _resize_bshw(gt_points, h, w)
         pred_mask = (

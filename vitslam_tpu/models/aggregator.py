@@ -8,8 +8,7 @@ aligned_vggt/models/featureAligned_vggt.py:5,25):
     transformer depth — ViT-L/14 for the flagship, configurable down for
     tests), producing per-frame patch tokens;
   * 1 camera token + ``num_register_tokens`` register tokens prepended per
-    frame, with distinct learned variants for the first frame vs the rest
-    (the first frame anchors the world frame);
+    frame, with distinct learned variants for the first frame vs the rest;
   * ``depth`` pairs of alternating attention blocks: **frame** attention
     (self-attention within each frame over P tokens, batched (B*S, P, C))
     then **global** attention (over all S*P tokens of the chunk, batched
@@ -17,18 +16,21 @@ aligned_vggt/models/featureAligned_vggt.py:5,25):
     grid position (0,0) and patches at (row+1, col+1);
   * per layer-pair output = concat(frame_out, global_out) -> (B, S, P, 2C).
 
-TPU-first deviations from the reference:
-  * Only the **tapped** intermediate layers (default [4, 11, 17, 23]) are
-    materialized — the reference materializes all 24 then frees
-    (featureAligned_vggt.py:78-82, torch.cuda.empty_cache). Here the tap
-    mask is static so XLA never allocates the untapped activations.
-  * attention runs through the Pallas flash kernel (ops.attention); the
-    global attention over S*P ≈ 27k tokens is the dominant FLOP sink.
-  * compute dtype bf16, params fp32.
+TPU-first design choices:
+  * layers run under ``lax.scan`` with stacked per-layer params — the 48
+    attention blocks compile as ONE block body (orders-of-magnitude faster
+    XLA compiles than unrolling; the reference's eager torch modules have no
+    such constraint);
+  * only the **tapped** intermediate layers (default [4, 11, 17, 23]) are
+    materialized, accumulated in the scan carry — the reference materializes
+    all 24 then frees (featureAligned_vggt.py:78-82, torch.cuda.empty_cache);
+  * attention rides the Pallas flash kernel (ops.attention); the global
+    attention over S*P ~ 27k tokens dominates FLOPs;
+  * compute dtype bf16, params fp32; per-layer remat optional.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
@@ -46,19 +48,37 @@ def expand_frame_tokens(param: jax.Array, B: int, S: int) -> jax.Array:
     uses variant 0 and frames 1..S-1 use variant 1.
 
     Behavior parity with the reference's slice_expand_and_flatten
-    (aligned_vggt/heads/alignment_head.py:543-567).
-    """
+    (aligned_vggt/heads/alignment_head.py:543-567)."""
     first = jnp.broadcast_to(param[0][None], (B, 1) + param.shape[1:])
     rest = jnp.broadcast_to(param[1][None, None], (B, S - 1) + param.shape[1:])
     tokens = jnp.concatenate([first, rest], axis=1)  # (B, S, K, C)
     return tokens.reshape(B * S, *param.shape[1:])
 
 
-class PatchEmbedViT(nn.Module):
-    """DINOv2-style ViT patch embedding: conv projection + transformer
-    blocks + final LayerNorm, returning patch tokens only.
+class _EmbedBlockScan(nn.Module):
+    """One patch-embed transformer layer, scanned over depth."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    init_values: float
+    dtype: jnp.dtype
+    remat: bool
 
-    Set ``depth=0`` for a pure conv projection (tiny test configs)."""
+    @nn.compact
+    def __call__(self, x, _):
+        block_cls = nn.remat(Block) if self.remat else Block
+        x = block_cls(
+            dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qk_norm=False, init_values=self.init_values, dtype=self.dtype,
+            name="block",
+        )(x)
+        return x, None
+
+
+class PatchEmbedViT(nn.Module):
+    """DINOv2-style ViT patch embedding: conv projection + scanned
+    transformer blocks + final LayerNorm, returning patch tokens only.
+    ``depth=0`` -> pure conv projection (tiny test configs)."""
     img_size: int = 518
     patch_size: int = 14
     embed_dim: int = 1024
@@ -78,32 +98,74 @@ class PatchEmbedViT(nn.Module):
             self.embed_dim,
             kernel_size=(self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="proj",
+            dtype=self.dtype, param_dtype=jnp.float32, name="proj",
         )(x)
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(n, gh * gw, self.embed_dim)
         pos_embed = self.param(
-            "pos_embed",
-            nn.initializers.normal(stddev=0.02),
-            (1, gh * gw, self.embed_dim),
-            jnp.float32,
+            "pos_embed", nn.initializers.normal(stddev=0.02),
+            (1, gh * gw, self.embed_dim), jnp.float32,
         )
         x = x + pos_embed.astype(self.dtype)
-        block_cls = nn.remat(Block) if self.remat else Block
-        for i in range(self.depth):
-            x = block_cls(
-                dim=self.embed_dim,
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                qk_norm=False,
-                init_values=self.init_values,
-                dtype=self.dtype,
-                name=f"block_{i}",
-            )(x)
+        if self.depth > 0:
+            scan = nn.scan(
+                _EmbedBlockScan,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+            )(self.embed_dim, self.num_heads, self.mlp_ratio,
+              self.init_values, self.dtype, self.remat, name="blocks")
+            x, _ = scan(x, None)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         return x
+
+
+class _AggPairScan(nn.Module):
+    """One frame-attention + global-attention layer pair, scanned over
+    depth; accumulates the tapped concat outputs in the carry."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qk_norm: bool
+    init_values: float
+    rope_base: float
+    dtype: jnp.dtype
+    remat: bool
+    tap_layers: Sequence[int]
+    B: int
+    S: int
+
+    @nn.compact
+    def __call__(self, carry, layer_idx):
+        x, taps, pos_frame, pos_global = carry
+        B, S = self.B, self.S
+        T = x.shape[1]
+        block_cls = nn.remat(Block) if self.remat else Block
+        frame_blk = block_cls(
+            dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qk_norm=self.qk_norm, init_values=self.init_values, rope="2d",
+            rope_base=self.rope_base, dtype=self.dtype, name="frame_block",
+        )
+        global_blk = block_cls(
+            dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qk_norm=self.qk_norm, init_values=self.init_values, rope="2d",
+            rope_base=self.rope_base, dtype=self.dtype, name="global_block",
+        )
+        x = frame_blk(x, pos_frame)                       # (B*S, T, C)
+        frame_out = x
+        xg = x.reshape(B, S * T, self.dim)
+        xg = global_blk(xg, pos_global)                   # (B, S*T, C)
+        x = xg.reshape(B * S, T, self.dim)
+
+        concat = jnp.concatenate([frame_out, x], axis=-1).reshape(
+            B, S, T, 2 * self.dim
+        )
+        unique_taps = sorted(set(self.tap_layers))
+        for k, tl in enumerate(unique_taps):
+            taps = taps.at[k].set(
+                jnp.where(layer_idx == tl, concat, taps[k])
+            )
+        return (x, taps, pos_frame, pos_global), None
 
 
 class Aggregator(nn.Module):
@@ -133,9 +195,8 @@ class Aggregator(nn.Module):
 
         Returns:
             tapped: list of (B, S, P_total, 2*embed_dim) outputs, one per
-                entry of ``intermediate_layers`` (ascending), each the
-                concat of that layer-pair's frame- and global-attention
-                outputs. P_total = patch_start_idx + grid_h * grid_w.
+                entry of ``intermediate_layers`` (duplicates allowed), each
+                the concat of that layer-pair's frame/global outputs.
             patch_start_idx: index of the first patch token.
         """
         B, S, C, H, W = images.shape
@@ -144,16 +205,11 @@ class Aggregator(nn.Module):
         images = (images.astype(jnp.float32) - mean) / std
 
         patch_tokens = PatchEmbedViT(
-            img_size=self.img_size,
-            patch_size=self.patch_size,
-            embed_dim=self.embed_dim,
-            depth=self.patch_embed_depth,
-            num_heads=self.patch_embed_heads,
-            dtype=self.dtype,
-            remat=self.remat,
-            name="patch_embed",
+            img_size=self.img_size, patch_size=self.patch_size,
+            embed_dim=self.embed_dim, depth=self.patch_embed_depth,
+            num_heads=self.patch_embed_heads, dtype=self.dtype,
+            remat=self.remat, name="patch_embed",
         )(images.reshape(B * S, C, H, W))
-        P = patch_tokens.shape[1]
         gh, gw = H // self.patch_size, W // self.patch_size
 
         camera_token = self.param(
@@ -170,35 +226,21 @@ class Aggregator(nn.Module):
         T = x.shape[1]
 
         pos_frame = patch_grid_positions(B * S, gh, gw, self.patch_start_idx)
-        # global attention sees the same per-frame grid positions tiled over S
         pos_global = pos_frame.reshape(B, S * T, 2)
 
-        block_cls = nn.remat(Block, static_argnums=()) if self.remat else Block
-        tap_by_layer: dict[int, jax.Array] = {}
-        tap_set = set(self.intermediate_layers)
-        for i in range(self.depth):
-            frame_blk = block_cls(
-                dim=self.embed_dim, num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
-                init_values=self.init_values, rope="2d",
-                rope_base=self.rope_base, dtype=self.dtype,
-                name=f"frame_block_{i}",
-            )
-            global_blk = block_cls(
-                dim=self.embed_dim, num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
-                init_values=self.init_values, rope="2d",
-                rope_base=self.rope_base, dtype=self.dtype,
-                name=f"global_block_{i}",
-            )
-            x = frame_blk(x, pos_frame)                      # (B*S, T, C)
-            frame_out = x
-            xg = x.reshape(B, S * T, self.embed_dim)
-            xg = global_blk(xg, pos_global)                  # (B, S*T, C)
-            x = xg.reshape(B * S, T, self.embed_dim)
-            if i in tap_set:
-                concat = jnp.concatenate([frame_out, x], axis=-1)
-                tap_by_layer[i] = concat.reshape(B, S, T, 2 * self.embed_dim)
-        # one entry per requested layer (duplicates allowed in tiny configs)
-        taps = [tap_by_layer[i] for i in self.intermediate_layers]
-        return taps, self.patch_start_idx
+        unique_taps = sorted(set(self.intermediate_layers))
+        taps0 = jnp.zeros((len(unique_taps), B, S, T, 2 * self.embed_dim),
+                          self.dtype)
+        scan = nn.scan(
+            _AggPairScan,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+        )(self.embed_dim, self.num_heads, self.mlp_ratio, self.qk_norm,
+          self.init_values, self.rope_base, self.dtype, self.remat,
+          tuple(self.intermediate_layers), B, S, name="layers")
+        (x, taps, _, _), _ = scan(
+            (x, taps0, pos_frame, pos_global), jnp.arange(self.depth)
+        )
+        tap_of = {tl: taps[k] for k, tl in enumerate(unique_taps)}
+        return [tap_of[tl] for tl in self.intermediate_layers], self.patch_start_idx

@@ -99,7 +99,8 @@ class DPTHead(nn.Module):
             t = t.reshape(B * S, gh, gw, self.dim_in)
             t = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"project_{i}")(t)
-            th, tw = int(gh * scales[i]), int(gw * scales[i])
+            th = max(1, int(gh * scales[i]))
+            tw = max(1, int(gw * scales[i]))
             t = _resize(t, th, tw)
             t = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,

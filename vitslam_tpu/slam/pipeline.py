@@ -54,8 +54,12 @@ class ChunkedPipeline:
     def init_params(self, rng: jax.Array, sample_images: jax.Array,
                     num_overlap: int = 1):
         """Initialize parameters by tracing the first-chunk path (which
-        creates the superset of parameters, incl. the memory hybrid-init)."""
-        params = self.model.init(rng, sample_images, num_overlap)
+        creates the superset of parameters, incl. the memory hybrid-init).
+        Jitted: un-jitted flax init dispatches one device op per parameter,
+        which is pathological over remote-tunnel backends."""
+        params = jax.jit(self.model.init, static_argnums=(2,))(
+            rng, sample_images, num_overlap
+        )
         self.params = params
         return params
 
