@@ -58,19 +58,28 @@ def main():
     pipe.init_params(rng, images, overlap)
     init_s = time.time() - t0
 
+    # Force a host readback of a small reduction to delimit each step: on
+    # the tunneled axon backend block_until_ready does not actually block,
+    # so a device->host transfer is the only honest fence.
+    def fence(outputs):
+        return float(jnp.sum(outputs["pose_enc"]))
+
     # first-chunk trace + continuation trace (compile warmup)
     t0 = time.time()
     outputs, state = pipe.step(images, overlap, None)
-    jax.block_until_ready(outputs["pose_enc"])
+    fence(outputs)
     outputs, state = pipe.step(images, overlap, state)
-    jax.block_until_ready(outputs["pose_enc"])
+    fence(outputs)
+    # one extra to flush any remaining async/compile backlog
+    outputs, state = pipe.step(images, overlap, state)
+    fence(outputs)
     compile_s = time.time() - t0
 
     # steady state: sequential chunk stream (state carried on device)
     t0 = time.time()
     for _ in range(n_timed):
         outputs, state = pipe.step(images, overlap, state)
-    jax.block_until_ready(outputs["pose_enc"])
+        fence(outputs)
     elapsed = time.time() - t0
 
     new_frames = n_timed * (width - overlap)

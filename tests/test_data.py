@@ -135,7 +135,7 @@ class TestKITTIOdometry:
         ds = KITTIOdometryDataset(CC, split="train", KITTIOD_DIR=kitti_root,
                                   sequence_ids=["00"])
         assert ds.sequence_list_len == 1
-        batch = ds.get_data(seq_index=0, img_per_seq=4, aspect_ratio=1.5)
+        batch = ds.get_data(seq_index=0, ids=[0, 1, 2, 3], aspect_ratio=1.5)
         assert batch["images"].shape[0] == 4
         # ones depth placeholder (0 only in aspect-padding rows)
         assert set(np.unique(batch["depths"])) <= {0.0, 1.0}

@@ -80,6 +80,9 @@ def main(argv=None):
     parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--set", action="append", default=[],
                         metavar="KEY=VALUE", dest="overrides")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (tpu/cpu); overrides the "
+                             "environment's default backend")
     args = parser.parse_args(argv)
 
     # persistent compile cache before jax init
@@ -90,6 +93,8 @@ def main(argv=None):
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.num_nodes > 1:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,

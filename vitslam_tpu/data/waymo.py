@@ -49,6 +49,15 @@ def lidar_to_depth(points_h: np.ndarray, intrinsics: np.ndarray,
     Returns:
         (H, W) float32 depth map (0 = no return).
     """
+    from ..native import lidar_splat_depth_native
+
+    native = lidar_splat_depth_native(
+        np.ascontiguousarray(points_h[:3].T), intrinsics, extrinsics,
+        image_size, eps,
+    )
+    if native is not None:
+        return native
+
     H, W = int(image_size[0]), int(image_size[1])
     cam = (intrinsics @ (extrinsics @ points_h)).T  # (N, 3)
     cam = cam[cam[:, 2] > 0]
