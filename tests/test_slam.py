@@ -161,3 +161,25 @@ class TestAlignmentTypes:
             out = align_outputs(preds, mb, atype, seq_width=4,
                                 image_size_hw=(H, W))
             assert np.isfinite(np.asarray(out["pose_enc"])).all(), atype
+
+
+class TestPipelinedEncode:
+    def test_pipelined_matches_sequential(self):
+        # encode_batch>1 must be numerically identical to the sequential path
+        kw = tiny_model_kwargs(num_memory_tokens=4, align_embed_dim=32,
+                               align_dec_dim=16)
+        model = FeatureAlignedVGGT(**kw)
+        batch = make_synthetic_batch(B=1, N=9, H=H, W=W)
+        seq = ChunkedPipeline(model)
+        seq.init_params(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["images"][:, :4]), 1)
+        pipe = ChunkedPipeline(model, seq.params, encode_batch=3)
+        p1, _ = seq.run_sequence(batch, chunk_width=4, num_overlap=1,
+                                 gt_alignment_type="none")
+        p2, _ = pipe.run_sequence(batch, chunk_width=4, num_overlap=1,
+                                  gt_alignment_type="none")
+        for k in ("pose_enc", "depth", "world_points", "chunk_sim3_enc"):
+            np.testing.assert_allclose(
+                np.asarray(p1[k]), np.asarray(p2[k]), atol=2e-4,
+                err_msg=k,
+            )

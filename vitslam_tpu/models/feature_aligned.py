@@ -83,6 +83,33 @@ class FeatureAlignedVGGT(nn.Module):
             temporal_attention=self.temporal_attention, dtype=self.dtype,
         )
 
+    def encode_chunks(self, images: jax.Array) -> dict:
+        """The chunk-independent (and therefore **batchable**) stage: run
+        the frozen backbone and all decoder heads, returning raw per-chunk
+        outputs plus the last tap for the alignment stage.
+
+        TPU-first restructure: the reference runs the whole model strictly
+        sequentially per chunk (featureAligned_vggt.py:48-223), but only the
+        AlignmentHead's temporal attention + the inter-chunk pose
+        composition actually depend on the previous chunk. Everything here
+        can be batched over several chunks at once (stack chunks along B),
+        which is where ~95% of the FLOPs live. Numerics are identical.
+        """
+        B, S, _, H, W = images.shape
+        taps, psi = self.core.encode(images)
+        raw: dict = {"last_tap": taps[-1]}
+        if self.enable_camera:
+            raw["pose_enc_raw"] = self.core.decode_camera(taps)[-1]
+        if self.enable_depth:
+            raw["depth_raw"], raw["depth_conf"] = self.core.decode_depth(
+                taps, images, psi
+            )
+        if self.enable_point:
+            raw["points_raw"], raw["points_conf"] = self.core.decode_point(
+                taps, images, psi
+            )
+        return raw
+
     def __call__(
         self,
         images: jax.Array,
@@ -106,8 +133,23 @@ class FeatureAlignedVGGT(nn.Module):
               world_points (B,S,H,W,3), world_points_conf (B,S,H,W),
               chunk_sim3_enc (B,1,8), frame_se3_enc (B,S-1,7).
         """
-        B, S, _, H, W = images.shape
-        taps, psi = self.core.encode(images)
+        raw = self.encode_chunks(images)
+        return self.align_chunk(
+            raw, images.shape, num_overlap, context, gt_poses, train
+        )
+
+    def align_chunk(
+        self,
+        raw: dict,
+        images_shape,
+        num_overlap: int,
+        context: Optional[FeatureAlignContext] = None,
+        gt_poses: Optional[jax.Array] = None,
+        train: bool = False,
+    ):
+        """The sequential stage: AlignmentHead + fp32 pose/scale composition
+        over precomputed raw outputs from :meth:`encode_chunks`."""
+        B, S, _, H, W = images_shape
 
         # a remainder chunk can be narrower than the configured overlap
         overlap = num_overlap if S > num_overlap else S - 1
@@ -119,7 +161,7 @@ class FeatureAlignedVGGT(nn.Module):
         )
         chunk_sim3_enc, frame_se3_enc, memory_tokens, overlap_tokens = (
             self.alignment_head(
-                taps[-1], (H, W), overlap, ctx_tokens, ctx_memory, train
+                raw["last_tap"], (H, W), overlap, ctx_tokens, ctx_memory, train
             )
         )
 
@@ -136,8 +178,7 @@ class FeatureAlignedVGGT(nn.Module):
         }
         point_ident = None
         if self.enable_camera:
-            pose_enc_list = self.core.decode_camera(taps)
-            extr, intr = pose_encoding_to_extri_intri(pose_enc_list[-1], (H, W))
+            extr, intr = pose_encoding_to_extri_intri(raw["pose_enc_raw"], (H, W))
             extr = pad_to_4x4(extr)
             ident_align = closed_form_inverse_se3(extr[:, 0])   # (B,4,4)
             point_ident = jax.lax.stop_gradient(extr[:, 0])
@@ -172,12 +213,14 @@ class FeatureAlignedVGGT(nn.Module):
             )
 
         if self.enable_depth:
-            depth, depth_conf = self.core.decode_depth(taps, images, psi)
-            outputs["depth"] = depth * chunk_scale[:, :, None, None, None]
-            outputs["depth_conf"] = depth_conf
+            outputs["depth"] = (
+                raw["depth_raw"] * chunk_scale[:, :, None, None, None]
+            )
+            outputs["depth_conf"] = raw["depth_conf"]
 
         if self.enable_point:
-            pts3d, pts_conf = self.core.decode_point(taps, images, psi)
+            pts3d = raw["points_raw"]
+            pts_conf = raw["points_conf"]
             if self.enable_camera:
                 if context is not None:
                     point_t = (

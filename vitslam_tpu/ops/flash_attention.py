@@ -28,8 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+# tuned on TPU v5e at the flagship's global-attention shape (16 heads,
+# ~6.9k tokens, head dim 64): 1024/1024 reaches ~42 TF/s vs ~27 at 256/512
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 

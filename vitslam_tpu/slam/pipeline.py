@@ -36,12 +36,31 @@ from .gt_alignment import align_outputs, per_chunk_scale_from_poses
 class ChunkedPipeline:
     """Drives a chunk-aligned model over an arbitrary-length sequence."""
 
-    def __init__(self, model, params=None, train: bool = False):
+    def __init__(self, model, params=None, train: bool = False,
+                 encode_batch: int = 1):
+        """encode_batch > 1 enables the two-stage pipelined driver: the
+        chunk-independent backbone+decoder stage runs batched over
+        ``encode_batch`` chunks at once (stacked along B — ~95% of FLOPs at
+        much higher MXU utilization), while the cheap recurrent alignment
+        stage runs sequentially. Requires a model exposing
+        encode_chunks/align_chunk (FeatureAlignedVGGT). Numerically
+        identical to the sequential path."""
         self.model = model
         self.params = params
         self.train = train
+        self.encode_batch = encode_batch
         self._step = jax.jit(
             self._apply, static_argnums=(2, 5), donate_argnums=(3,)
+        )
+        self._encode_fn = jax.jit(
+            lambda p, im: self.model.apply(p, im, method="encode_chunks")
+        )
+        self._align_fn = jax.jit(
+            lambda p, raw, shape, k, ctx, gt, tr, rng: self.model.apply(
+                p, raw, shape, k, ctx, gt, tr, method="align_chunk",
+                rngs={"dropout": rng} if (tr and rng is not None) else None,
+            ),
+            static_argnums=(2, 3, 6),
         )
 
     # --- model plumbing ---------------------------------------------------
@@ -106,6 +125,11 @@ class ChunkedPipeline:
         chunks = chunk_batch(batch, indices)
         use_gt = sample_mode in ("chunk_gt", "two_chunks")
 
+        raw_per_chunk = None
+        if (self.encode_batch > 1 and not self.train
+                and hasattr(self.model, "encode_chunks")):
+            raw_per_chunk = self._encode_all(chunks)
+
         state = None
         chunk_outputs: list[dict] = []
         pending = None  # (outputs device pytree, images) for async offload
@@ -118,10 +142,17 @@ class ChunkedPipeline:
             step_rng = None
             if self.train and rng is not None:
                 rng, step_rng = jax.random.split(rng)
-            outputs, state = self.step(
-                jnp.asarray(chunk["images"]), num_overlap, state, gt_poses,
-                step_rng,
-            )
+            if raw_per_chunk is not None:
+                outputs, state = self._align_fn(
+                    self.params, raw_per_chunk[i],
+                    tuple(chunk["images"].shape), num_overlap, state,
+                    gt_poses, False, None,
+                )
+            else:
+                outputs, state = self.step(
+                    jnp.asarray(chunk["images"]), num_overlap, state,
+                    gt_poses, step_rng,
+                )
             if self.train:
                 # keep on device — gradients flow through the whole loop
                 chunk_outputs.append(outputs)
@@ -146,6 +177,31 @@ class ChunkedPipeline:
             image_size_hw=tuple(images.shape[-2:]),
         )
         return predictions, merged_batch
+
+    def _encode_all(self, chunks: list[dict]) -> list:
+        """Stage 1 of the pipelined driver: batch same-shape chunks along B
+        (up to ``encode_batch`` at a time), run the chunk-independent
+        encode, and split the raw outputs back per chunk."""
+        raws: list = [None] * len(chunks)
+        i = 0
+        while i < len(chunks):
+            shape = chunks[i]["images"].shape
+            group = [i]
+            while (len(group) < self.encode_batch
+                   and i + len(group) < len(chunks)
+                   and chunks[i + len(group)]["images"].shape == shape):
+                group.append(i + len(group))
+            stacked = jnp.concatenate(
+                [jnp.asarray(chunks[g]["images"]) for g in group], axis=0
+            )
+            raw = self._encode_fn(self.params, stacked)
+            B = shape[0]
+            for k, g in enumerate(group):
+                raws[g] = jax.tree_util.tree_map(
+                    lambda x: x[k * B:(k + 1) * B], raw
+                )
+            i += len(group)
+        return raws
 
     @staticmethod
     def _fetch(pending, keep_images: bool) -> dict:
