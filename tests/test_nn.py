@@ -150,3 +150,23 @@ class TestModules:
         g = jax.grad(loss)(params)
         flat = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+
+
+class TestRopeCache:
+    def test_cached_2d_matches_direct(self):
+        from vitslam_tpu.nn.rope import apply_rope_cached, rope_cache_2d
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 4, 10, 16)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 30, size=(2, 10, 2)))
+        direct = apply_rope_2d(x, pos)
+        cached = apply_rope_cached(x, rope_cache_2d(pos, 16))
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(direct), atol=1e-6)
+
+    def test_cached_1d_matches_direct(self):
+        from vitslam_tpu.nn.rope import apply_rope_cached, rope_cache_1d
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(1, 2, 7, 8)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 20, size=(1, 7)))
+        direct = apply_rope_1d(x, pos)
+        cached = apply_rope_cached(x, rope_cache_1d(pos, 8))
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(direct), atol=1e-6)

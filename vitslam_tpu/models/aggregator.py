@@ -137,7 +137,11 @@ class _AggPairScan(nn.Module):
 
     @nn.compact
     def __call__(self, carry, layer_idx):
-        x, taps, pos_frame, pos_global = carry
+        # RoPE caches ride the carry as raw cos/sin arrays (scan carries
+        # must be arrays); nsplit=2 is static
+        x, taps, cos_f, sin_f, cos_g, sin_g = carry
+        pos_frame = (cos_f, sin_f, 2)
+        pos_global = (cos_g, sin_g, 2)
         B, S = self.B, self.S
         T = x.shape[1]
         block_cls = nn.remat(Block) if self.remat else Block
@@ -165,7 +169,7 @@ class _AggPairScan(nn.Module):
             taps = taps.at[k].set(
                 jnp.where(layer_idx == tl, concat, taps[k])
             )
-        return (x, taps, pos_frame, pos_global), None
+        return (x, taps, cos_f, sin_f, cos_g, sin_g), None
 
 
 class Aggregator(nn.Module):
@@ -227,6 +231,13 @@ class Aggregator(nn.Module):
 
         pos_frame = patch_grid_positions(B * S, gh, gw, self.patch_start_idx)
         pos_global = pos_frame.reshape(B, S * T, 2)
+        # hoist RoPE trig out of the 24-layer scan: one cos/sin cache per
+        # attention flavor instead of recomputing angles in every block
+        head_dim = self.embed_dim // self.num_heads
+        from ..nn.rope import rope_cache_2d
+
+        cos_f, sin_f, _ = rope_cache_2d(pos_frame, head_dim, self.rope_base)
+        cos_g, sin_g, _ = rope_cache_2d(pos_global, head_dim, self.rope_base)
 
         unique_taps = sorted(set(self.intermediate_layers))
         taps0 = jnp.zeros((len(unique_taps), B, S, T, 2 * self.embed_dim),
@@ -239,8 +250,8 @@ class Aggregator(nn.Module):
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.qk_norm,
           self.init_values, self.rope_base, self.dtype, self.remat,
           tuple(self.intermediate_layers), B, S, name="layers")
-        (x, taps, _, _), _ = scan(
-            (x, taps0, pos_frame, pos_global), jnp.arange(self.depth)
+        (x, taps, _, _, _, _), _ = scan(
+            (x, taps0, cos_f, sin_f, cos_g, sin_g), jnp.arange(self.depth)
         )
         tap_of = {tl: taps[k] for k, tl in enumerate(unique_taps)}
         return [tap_of[tl] for tl in self.intermediate_layers], self.patch_start_idx

@@ -176,6 +176,10 @@ class FeatureAlignedVGGT(nn.Module):
             "chunk_sim3_enc": chunk_sim3_enc,
             "frame_se3_enc": frame_se3_enc,
         }
+        if self.enable_memory:
+            # exposed for the memory-token cosine-similarity diagnostics
+            # (reference training_metrics.py:505-524)
+            outputs["memory_tokens"] = memory_tokens
         point_ident = None
         if self.enable_camera:
             extr, intr = pose_encoding_to_extri_intri(raw["pose_enc_raw"], (H, W))

@@ -20,14 +20,24 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import scaled_dot_product_attention
-from .rope import apply_rope_1d, apply_rope_2d
+from .rope import apply_rope_1d, apply_rope_2d, apply_rope_cached
 
 Dtype = jnp.dtype
 
 
+def _is_rope_cache(pos) -> bool:
+    return isinstance(pos, tuple) and len(pos) == 3 and isinstance(pos[2], int)
+
+
 def _apply_rope(q, k, pos_q, pos_k, mode: Optional[str], base: float):
+    """Apply RoPE to q/k. ``pos`` may be integer position arrays (angles
+    computed inline) or a precomputed (cos, sin, nsplit) cache from
+    rope.rope_cache_1d/2d — callers with hot loops (the scanned aggregator)
+    hoist the trig out by passing caches."""
     if mode is None or pos_q is None:
         return q, k
+    if _is_rope_cache(pos_q):
+        return apply_rope_cached(q, pos_q), apply_rope_cached(k, pos_k)
     fn = apply_rope_1d if mode == "1d" else apply_rope_2d
     return fn(q, pos_q, base), fn(k, pos_k, base)
 

@@ -77,6 +77,45 @@ def apply_rope_2d(tokens: jax.Array, positions: jax.Array, base: float = 100.0) 
     return jnp.concatenate([y_out, x_out], axis=-1).astype(tokens.dtype)
 
 
+def rope_cache_1d(positions: jax.Array, dim: int, base: float = 100.0):
+    """Precompute (cos, sin, nsplit=1) for 1-D RoPE — hoist the trig out of
+    hot loops (e.g. computed once per forward instead of per scanned layer)."""
+    cos, sin = _rope_angles(positions, dim, base)
+    return cos, sin, 1
+
+
+def rope_cache_2d(positions: jax.Array, dim: int, base: float = 100.0):
+    """Precompute (cos, sin, nsplit=2) for 2-D RoPE: the first half of the
+    head dim carries the row-angle bands, the second half the column-angle
+    bands."""
+    half = dim // 2
+    cos_y, sin_y = _rope_angles(positions[..., 0], half, base)
+    cos_x, sin_x = _rope_angles(positions[..., 1], half, base)
+    return (jnp.concatenate([cos_y, cos_x], axis=-1),
+            jnp.concatenate([sin_y, sin_x], axis=-1), 2)
+
+
+def _rotate_half_multi(x: jax.Array, nsplit: int) -> jax.Array:
+    """Half-rotation applied independently within each of ``nsplit``
+    contiguous blocks of the last dim."""
+    if nsplit == 1:
+        return _rotate_half(x)
+    d = x.shape[-1]
+    xs = x.reshape(x.shape[:-1] + (nsplit, d // nsplit))
+    half = d // nsplit // 2
+    rot = jnp.concatenate([-xs[..., half:], xs[..., :half]], axis=-1)
+    return rot.reshape(x.shape)
+
+
+def apply_rope_cached(tokens: jax.Array, cache) -> jax.Array:
+    """Apply RoPE from a precomputed (cos, sin, nsplit) cache.
+    tokens (B, H, N, D); cos/sin (B, N, D)."""
+    cos, sin, nsplit = cache
+    x = tokens.astype(jnp.float32)
+    out = x * cos[:, None] + _rotate_half_multi(x, nsplit) * sin[:, None]
+    return out.astype(tokens.dtype)
+
+
 def patch_grid_positions(batch: int, grid_h: int, grid_w: int, num_special: int) -> jax.Array:
     """(B, num_special + grid_h*grid_w, 2) integer positions: special tokens
     at (0, 0), patch tokens on the (row+1, col+1) grid.

@@ -156,7 +156,35 @@ class Trainer:
             )
         return self._step_cache[key]
 
+    @staticmethod
+    def normalize_batch(batch: dict) -> dict:
+        """First-frame-centric GT normalization before the forward pass
+        (the reference's on_before_batch_transfer hook,
+        run_model.py:159-179; scale_by_points=False)."""
+        from ..slam import normalize_extrinsics_and_points
+
+        if "extrinsics" not in batch:
+            return batch
+        out = dict(batch)
+        e, cam, world, depths = normalize_extrinsics_and_points(
+            jnp.asarray(batch["extrinsics"]),
+            cam_points=jnp.asarray(batch["cam_points"])
+            if "cam_points" in batch else None,
+            world_points=jnp.asarray(batch["world_points"])
+            if "world_points" in batch else None,
+            depths=jnp.asarray(batch["depths"])
+            if "depths" in batch else None,
+            point_masks=jnp.asarray(batch["point_masks"])
+            if "point_masks" in batch else None,
+            scale_by_points=False,
+        )
+        out["extrinsics"] = np.asarray(e)
+        if world is not None:
+            out["world_points"] = np.asarray(world)
+        return out
+
     def _prepare_chunks(self, batch: dict, width: int, overlap: int):
+        batch = self.normalize_batch(batch)
         S = batch["images"].shape[1]
         indices = generate_chunks(S, self.sample_mode, width, overlap,
                                   rng=None)
@@ -224,6 +252,7 @@ class Trainer:
         if self.metrics.log_dir is None:
             self.metrics.log_dir = self.logger.log_dir
         batch = next(self.val_data.get_loader(epoch=step))
+        batch = self.normalize_batch(batch)
         preds, merged = pipeline.run_sequence(
             {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
             sample_mode="chunk_overlap",
