@@ -166,3 +166,23 @@ class TestDynamic:
         out = collate([s, s])
         assert out["images"].shape == (2, 2, 3, 4, 4)
         assert out["seq_name"] == ["a", "a"]
+
+
+class TestWaymo:
+    def test_reader(self, tmp_path):
+        from vitslam_tpu.data import WaymoDataset
+        from vitslam_tpu.utils.fixtures import write_waymo_fixture
+
+        root = str(tmp_path / "waymo")
+        write_waymo_fixture(root, n_frames=6, hw=(56, 84))
+        cc = CommonConfig(img_size=56, patch_size=14, chunk_subsampling=(1, 1))
+        ds = WaymoDataset(cc, split="train", Waymo_DIR=root,
+                          cameras=["cam_01"])
+        assert ds.sequence_list_len == 1
+        assert ds.seq_frame_num[0] == 6
+        batch = ds.get_data(seq_index=0, ids=[0, 2, 4], aspect_ratio=1.5)
+        assert batch["images"].shape[0] == 3
+        assert batch["depths"].shape == batch["point_masks"].shape
+        # lidar splat produced some valid depth
+        assert batch["point_masks"].sum() > 0
+        assert np.isfinite(batch["world_points"]).all()

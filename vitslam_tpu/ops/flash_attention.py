@@ -39,7 +39,11 @@ def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     *, kv_len: int, block_k: int, scale: float,
 ):
-    """One (batch*head, q_block, k_block) grid step of flash attention."""
+    """One (batch*head, q_block, k_block) grid step of flash attention.
+
+    Note: this kernel is VPU-bound at head dim 64 (~5 vector ops per logit
+    vs ~1.4us of MXU per 1024^2 tile); the iota-based tail mask measured
+    faster than a precomputed 1-D bias stream (Mosaic fuses it)."""
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -85,12 +89,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(n: int, block: int) -> int:
+    """Largest lane-aligned block <= ``block`` that minimizes padding waste:
+    split n into ceil(n/block) tiles of near-equal 128-aligned size (a fixed
+    1024 block would pad 1379 -> 2048, wasting ~48% of the compute)."""
+    n_tiles = -(-n // block)
+    return min(block, _round_up(-(-n // n_tiles), 128))
+
+
 def _flash_forward(q, k, v, scale, block_q, block_k):
     """q: (BH, Nq, D), k/v: (BH, Nk, D) -> (BH, Nq, D)."""
     bh, nq, d = q.shape
     nk = k.shape[1]
-    block_q = min(block_q, _round_up(nq, 128))
-    block_k = min(block_k, _round_up(nk, 128))
+    block_q = _pick_block(nq, block_q)
+    block_k = _pick_block(nk, block_k)
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_k)
     if nq_pad != nq:

@@ -260,16 +260,25 @@ class Trainer:
             num_overlap=self.metrics.num_overlap,
             gt_alignment_type=self.gt_alignment_type,
         )
+        # validation losses on the merged outputs (reference logs val losses
+        # with sync_dist, run_model.py:262-263)
+        val_losses = {}
+        try:
+            ld = self.loss(preds, merged, step, jax.random.PRNGKey(0))
+            val_losses = {k: float(v) for k, v in ld.items()}
+        except Exception as e:  # heads disabled / missing keys
+            val_losses = {"loss_error": float("nan")}
+            print(f"val loss skipped: {e}")
         batch_metrics, seq_metrics = self.metrics(
             preds, merged, pipeline, self.val_data.datasets
         )
         if jax.process_index() == 0:
             self.logger.log_metrics(
                 {f"val/{k}": v for k, v in
-                 {**batch_metrics, **seq_metrics}.items()},
+                 {**val_losses, **batch_metrics, **seq_metrics}.items()},
                 step,
             )
-        return {**batch_metrics, **seq_metrics}
+        return {**val_losses, **batch_metrics, **seq_metrics}
 
     def test(self):
         assert self.val_data is not None and self.metrics is not None

@@ -83,3 +83,45 @@ def write_kitti_odometry_fixture(root: str, seq: str = "00",
         for name in ("P0", "P1", "P2", "P3"):
             fh.write(f"{name}: " + " ".join(f"{v:.6e}" for v in P2.reshape(-1)) + "\n")
     return root
+
+
+def write_waymo_fixture(root: str, seq: str = "seq0000", split: str = "training",
+                        camera: str = "cam_01", n_frames: int = 6,
+                        hw=(48, 64), n_lidar: int = 400, seed: int = 0) -> str:
+    """Write the preprocessed-Waymo layout the reader expects:
+    <split>/<seq>/frames/<cam>/NNNNNNNNNN.jpg, .../lidar/NNNNNNNNNN.npy,
+    poses.npy, calibration.pkl (normalized proj mats + dims)."""
+    import pickle
+
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    H, W = hw
+    seq_dir = osp.join(root, split, seq)
+    img_dir = osp.join(seq_dir, "frames", camera)
+    lidar_dir = osp.join(seq_dir, "lidar")  # reader maps /frames -> /lidar
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lidar_dir, exist_ok=True)
+
+    poses = np.stack([_se3(0.01 * i, np.array([0.5 * i, 0, 0])) for i in range(n_frames)])
+    np.save(osp.join(seq_dir, "poses.npy"), poses)
+    cam_id = int(camera[-1])
+    # normalized projection matrix: fx/cx expressed in half-image units
+    proj = np.zeros((3, 3))
+    proj[0, 0] = 1.5
+    proj[1, 1] = 1.5
+    proj[2, 2] = 1.0
+    calib = {
+        "dims": np.array([H, W]),
+        "extrinsics": {cam_id: np.eye(4)},
+        "proj_mats": {cam_id: proj},
+    }
+    with open(osp.join(seq_dir, "calibration.pkl"), "wb") as f:
+        pickle.dump(calib, f)
+    for i in range(n_frames):
+        img = (rng.uniform(0, 255, size=(H, W, 3))).astype(np.uint8)
+        cv2.imwrite(osp.join(img_dir, f"{i:010d}.jpg"), img)
+        pts = rng.uniform(-3, 3, size=(n_lidar, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(3, 30, n_lidar)
+        np.save(osp.join(lidar_dir, f"{i:010d}.npy"), pts)
+    return root
