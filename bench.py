@@ -50,7 +50,7 @@ def main():
         model = flagship()
         H = W = 518
 
-    encode_batch = int(os.environ.get("BENCH_ENCODE_BATCH", 4))
+    encode_batch = int(os.environ.get("BENCH_ENCODE_BATCH", 8))
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (1, width, 3, H, W), jnp.bfloat16)
     group_images = jax.random.uniform(
