@@ -170,3 +170,17 @@ class TestRopeCache:
         direct = apply_rope_1d(x, pos)
         cached = apply_rope_cached(x, rope_cache_1d(pos, 8))
         np.testing.assert_allclose(np.asarray(cached), np.asarray(direct), atol=1e-6)
+
+def test_flash_static_max_matches_xla():
+    # bounded-logit fast path must match the online-softmax result
+    from vitslam_tpu.ops import flash_attention as fa_fn
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(1, 2, 200, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 233, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 233, 64)), jnp.float32)
+    ref = scaled_dot_product_attention(q, k, v, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = fa_fn(q, k, v, block_q=128, block_k=128, static_max=24.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -75,6 +75,9 @@ def main(argv=None):
     parser.add_argument("--config", required=True)
     parser.add_argument("--config-dir", default="configs")
     parser.add_argument("--num_nodes", type=int, default=1)
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="local devices to use for the data mesh "
+                             "(0 = all; reference CLI parity)")
     parser.add_argument("--coordinator", default=None,
                         help="host:port of process 0 (multi-node)")
     parser.add_argument("--process_id", type=int, default=None)
@@ -109,6 +112,8 @@ def main(argv=None):
     for ov in args.overrides:
         key, _, val = ov.partition("=")
         _set_dotted(cfg, key, val)
+    if args.num_devices:
+        cfg["num_devices"] = args.num_devices
 
     model, loss, metrics, train_data, val_data, params = build_from_config(cfg)
     trainer = Trainer(

@@ -102,7 +102,10 @@ class Attention(nn.Module):
             q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")(q)
             k = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")(k)
         q, k = _apply_rope(q, k, pos, pos, self.rope, self.rope_base)
-        out = scaled_dot_product_attention(q, k, v)
+        # qk-norm bounds |logits| <= sqrt(dh)*|g_q||g_k| -> the flash kernel
+        # can use a fixed softmax shift and skip online max tracking
+        static_max = 24.0 if self.qk_norm else None
+        out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=self.proj_bias,
                         dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
@@ -141,7 +144,8 @@ class CrossAttention(nn.Module):
             k = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")(k)
         pos_q, pos_k = pos if pos is not None else (None, None)
         q, k = _apply_rope(q, k, pos_q, pos_k, self.rope, self.rope_base)
-        out = scaled_dot_product_attention(q, k, v)
+        static_max = 24.0 if self.qk_norm else None
+        out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=self.proj_bias,
                         dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)

@@ -32,6 +32,7 @@ def scaled_dot_product_attention(
     v: jax.Array,
     *,
     impl: str = "auto",
+    static_max: float | None = None,
 ) -> jax.Array:
     """Attention over (B, H, Nq, D) queries and (B, H, Nk, D) keys/values.
 
@@ -44,7 +45,7 @@ def scaled_dot_product_attention(
         impl == "auto" and _on_tpu() and nk >= _FLASH_MIN_KV
     )
     if use_flash:
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, static_max=static_max)
     scale = 1.0 / math.sqrt(q.shape[-1])
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s * scale, axis=-1)

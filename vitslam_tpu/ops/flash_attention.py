@@ -37,7 +37,7 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-    *, kv_len: int, block_k: int, needs_mask: bool,
+    *, kv_len: int, block_k: int, needs_mask: bool, static_max,
 ):
     """One (batch*head, q_block, k_block) grid step of flash attention.
 
@@ -68,21 +68,34 @@ def _flash_kernel(
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_scratch[:]  # (block_q, 1)
-    l_prev = l_scratch[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)  # (block_q, block_k)
-    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if static_max is None:
+        # online softmax: track the running row max
+        m_prev = m_scratch[:]  # (block_q, 1)
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # (block_q, block_k)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-    m_scratch[:] = m_next
-    l_scratch[:] = l_next
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scratch[:] = acc_scratch[:] * alpha + pv
+        m_scratch[:] = m_next
+        l_scratch[:] = l_next
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+    else:
+        # bounded-logit fast path (qk-normed attention: |s| <= |q||k|/sqrt(d)
+        # is provably small): fixed shift, no max tracking, no rescale —
+        # drops ~2 of the ~5 VPU passes per logit
+        p = jnp.exp(s - static_max)
+        l_scratch[:] = l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:] = acc_scratch[:] + pv
 
     @pl.when(kb == nkb - 1)
     def _finalize():
@@ -106,7 +119,7 @@ def _pick_block(n: int, block: int) -> int:
     return min(block, _round_up(-(-n // n_tiles), 128))
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k):
+def _flash_forward(q, k, v, scale, block_q, block_k, static_max=None):
     """q: (BH, Nq, D), k/v: (BH, Nk, D) -> (BH, Nq, D)."""
     bh, nq, d = q.shape
     nk = k.shape[1]
@@ -127,7 +140,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, kv_len=nk, block_k=block_k,
-            needs_mask=(nk_pad != nk),
+            needs_mask=(nk_pad != nk), static_max=static_max,
         ),
         grid=grid,
         in_specs=[
@@ -156,16 +169,16 @@ def _xla_attention(q, k, v, scale):
     return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, static_max):
+    return _flash_forward(q, k, v, scale, block_q, block_k, static_max)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k), (q, k, v)
+def _flash_fwd(q, k, v, scale, block_q, block_k, static_max):
+    return _flash_forward(q, k, v, scale, block_q, block_k, static_max), (q, k, v)
 
 
-def _flash_bwd(scale, block_q, block_k, res, g):
+def _flash_bwd(scale, block_q, block_k, static_max, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
     return vjp(g)
@@ -182,6 +195,7 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    static_max: float | None = None,
 ) -> jax.Array:
     """Flash attention over (B, H, N, D) tensors (self or cross: Nq != Nk ok).
 
@@ -196,5 +210,6 @@ def flash_attention(
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
     vf = v.reshape(b * h, nk, d)
-    out = _flash(qf, kf, vf, float(scale), block_q, block_k)
+    out = _flash(qf, kf, vf, float(scale), block_q, block_k,
+                 None if static_max is None else float(static_max))
     return out.reshape(b, h, nq, d)
