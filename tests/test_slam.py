@@ -183,3 +183,23 @@ class TestPipelinedEncode:
                 np.asarray(p1[k]), np.asarray(p2[k]), atol=2e-4,
                 err_msg=k,
             )
+
+    def test_pipelined_point_and_pose_variants(self):
+        # point/pose variants also expose encode_chunks/align_chunk
+        for cls, extra in ((PointAlignedVGGT, dict()),
+                           (PoseAlignedVGGT, dict(enable_point=False))):
+            kw = tiny_model_kwargs(**extra)
+            model = cls(**kw)
+            batch = make_synthetic_batch(B=1, N=7, H=H, W=W)
+            seq = ChunkedPipeline(model)
+            seq.init_params(jax.random.PRNGKey(0),
+                            jnp.asarray(batch["images"][:, :4]), 1)
+            pipe = ChunkedPipeline(model, seq.params, encode_batch=2)
+            p1, _ = seq.run_sequence(batch, chunk_width=4, num_overlap=1,
+                                     gt_alignment_type="none")
+            p2, _ = pipe.run_sequence(batch, chunk_width=4, num_overlap=1,
+                                      gt_alignment_type="none")
+            np.testing.assert_allclose(
+                np.asarray(p1["pose_enc"]), np.asarray(p2["pose_enc"]),
+                atol=2e-4, err_msg=cls.__name__,
+            )

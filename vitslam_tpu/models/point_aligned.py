@@ -70,6 +70,22 @@ class PointAlignedVGGT(nn.Module):
             dtype=self.dtype, remat=self.remat,
         )
 
+    def encode_chunks(self, images: jax.Array) -> dict:
+        """Chunk-independent (batchable) stage: backbone + decoder heads
+        (the IRLS alignment in align_chunk is the only sequential part)."""
+        taps, psi = self.core.encode(images)
+        raw: dict = {}
+        raw["points_raw"], raw["points_conf"] = self.core.decode_point(
+            taps, images, psi
+        )
+        if self.enable_camera:
+            raw["pose_enc_raw"] = self.core.decode_camera(taps)[-1]
+        if self.enable_depth:
+            raw["depth_raw"], raw["depth_conf"] = self.core.decode_depth(
+                taps, images, psi
+            )
+        return raw
+
     def __call__(
         self,
         images: jax.Array,
@@ -80,11 +96,22 @@ class PointAlignedVGGT(nn.Module):
         train: bool = False,
     ):
         assert self.enable_point, "point-aligned variant needs the point head"
-        B, S, _, H, W = images.shape
-        taps, psi = self.core.encode(images)
+        raw = self.encode_chunks(images)
+        return self.align_chunk(raw, images.shape, num_overlap, context,
+                                gt_poses, train)
 
+    def align_chunk(
+        self,
+        raw: dict,
+        images_shape,
+        num_overlap: int,
+        context: Optional[PointAlignContext] = None,
+        gt_poses: Optional[jax.Array] = None,
+        train: bool = False,
+    ):
+        B, S, _, H, W = images_shape
         outputs: dict = {}
-        pts3d, pts_conf = self.core.decode_point(taps, images, psi)
+        pts3d, pts_conf = raw["points_raw"], raw["points_conf"]
 
         if context is not None:
             transform, scales = _batched_irls(
@@ -104,17 +131,17 @@ class PointAlignedVGGT(nn.Module):
         outputs["world_points_conf"] = pts_conf
 
         if self.enable_camera:
-            pose_enc_list = self.core.decode_camera(taps)
-            extr, intr = pose_encoding_to_extri_intri(pose_enc_list[-1], (H, W))
+            extr, intr = pose_encoding_to_extri_intri(raw["pose_enc_raw"], (H, W))
             aligned_extr = apply_sim3_on_w2c(extr, transform, scales)
             outputs["pose_enc"] = extri_intri_to_pose_encoding(
                 aligned_extr[..., :3, :4], intr, (H, W)
             )
 
         if self.enable_depth:
-            depth, depth_conf = self.core.decode_depth(taps, images, psi)
-            outputs["depth"] = depth * scales[:, None, None, None, None]
-            outputs["depth_conf"] = depth_conf
+            outputs["depth"] = (
+                raw["depth_raw"] * scales[:, None, None, None, None]
+            )
+            outputs["depth_conf"] = raw["depth_conf"]
 
         new_state = PointAlignContext(
             prev_points=pts3d_final[:, -num_overlap:],

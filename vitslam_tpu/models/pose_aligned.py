@@ -65,6 +65,20 @@ class PoseAlignedVGGT(nn.Module):
             dtype=self.dtype, remat=self.remat,
         )
 
+    def encode_chunks(self, images: jax.Array) -> dict:
+        """Chunk-independent (batchable) stage: backbone + decoder heads."""
+        taps, psi = self.core.encode(images)
+        raw: dict = {"pose_enc_raw": self.core.decode_camera(taps)[-1]}
+        if self.enable_depth:
+            raw["depth_raw"], raw["depth_conf"] = self.core.decode_depth(
+                taps, images, psi
+            )
+        if self.enable_point:
+            raw["points_raw"], raw["points_conf"] = self.core.decode_point(
+                taps, images, psi
+            )
+        return raw
+
     def __call__(
         self,
         images: jax.Array,
@@ -76,12 +90,22 @@ class PoseAlignedVGGT(nn.Module):
         """gt_poses: (B, S, 3, 4) or (B, S, 4, 4) chunk GT w2c for GT-scale
         alignment and chunk_gt mode, or None."""
         assert self.enable_camera, "pose-aligned variant needs the camera head"
-        B, S, _, H, W = images.shape
-        taps, psi = self.core.encode(images)
-        outputs: dict = {}
+        raw = self.encode_chunks(images)
+        return self.align_chunk(raw, images.shape, num_overlap, context,
+                                gt_poses, train)
 
-        pose_enc_list = self.core.decode_camera(taps)
-        extr, intr = pose_encoding_to_extri_intri(pose_enc_list[-1], (H, W))
+    def align_chunk(
+        self,
+        raw: dict,
+        images_shape,
+        num_overlap: int,
+        context: Optional[PoseAlignContext] = None,
+        gt_poses: Optional[jax.Array] = None,
+        train: bool = False,
+    ):
+        B, S, _, H, W = images_shape
+        outputs: dict = {}
+        extr, intr = pose_encoding_to_extri_intri(raw["pose_enc_raw"], (H, W))
         extr = pad_to_4x4(extr)
         ident_align = closed_form_inverse_se3(extr[:, 0])
         point_ident = jax.lax.stop_gradient(extr[:, 0])
@@ -123,13 +147,14 @@ class PoseAlignedVGGT(nn.Module):
         )
 
         if self.enable_depth:
-            depth, depth_conf = self.core.decode_depth(taps, images, psi)
-            outputs["depth"] = depth * scales[:, None, None, None, None]
-            outputs["depth_conf"] = depth_conf
+            outputs["depth"] = (
+                raw["depth_raw"] * scales[:, None, None, None, None]
+            )
+            outputs["depth_conf"] = raw["depth_conf"]
 
         if self.enable_point:
-            pts3d, pts_conf = self.core.decode_point(taps, images, psi)
-            pts3d = pts3d * scales[:, None, None, None, None]
+            pts3d = raw["points_raw"] * scales[:, None, None, None, None]
+            pts_conf = raw["points_conf"]
             if context is not None:
                 point_t = (
                     closed_form_inverse_se3(mean_transform[:, 0]) @ point_ident

@@ -60,11 +60,13 @@ def _flash_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, block_k)
 
-    if needs_mask:
+    if needs_mask and static_max is None:
         # mask out K padding in the tail block. NOTE: an in-kernel lax.cond
         # on the k program id benchmarked 2x SLOWER (it breaks Mosaic's
         # elementwise fusion); the unconditional iota/select is cheap once
-        # fused into the softmax chain.
+        # fused into the softmax chain. (The static-max path needs no mask:
+        # zero-padded keys contribute exactly n_pad*exp(-static_max) to l,
+        # subtracted at finalize.)
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
 
@@ -100,6 +102,10 @@ def _flash_kernel(
     @pl.when(kb == nkb - 1)
     def _finalize():
         l = l_scratch[:]
+        if static_max is not None and needs_mask:
+            # exact removal of the zero-padded keys' softmax mass
+            n_pad = nkb * block_k - kv_len
+            l = l - n_pad * math.exp(-static_max)
         o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
