@@ -138,10 +138,23 @@ class Metrics:
         self.save_for_visualization = save_for_visualization
         self.log_dir = log_dir
 
+        # multi-host: concatenate metric states across processes before
+        # compute (the reference's dist_reduce_fx="cat" — SURVEY §5.8)
+        gather_fn = None
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            def gather_fn(x):
+                g = multihost_utils.process_allgather(x)
+                return np.asarray(g).reshape((-1,) + x.shape[1:])
+
         def build(entries):
             out = []
             for e in entries or []:
-                out.append(instantiate(e) if isinstance(e, dict) else e)
+                m = instantiate(e) if isinstance(e, dict) else e
+                if gather_fn is not None and getattr(m, "_gather", None) is None:
+                    m._gather = gather_fn
+                out.append(m)
             return out
 
         self.trajectory_metrics = build(trajectory_metrics)
