@@ -10,7 +10,6 @@ model. The config *is* the experiment.
 """
 from __future__ import annotations
 
-import copy
 import importlib
 import os.path as osp
 import re

@@ -9,8 +9,7 @@ full window still fits, then a random window of ``img_per_seq`` frames
 """
 from __future__ import annotations
 
-import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import numpy as np

@@ -16,7 +16,6 @@ Behavior parity with training/training_metrics.py:20-731 (Metrics):
 """
 from __future__ import annotations
 
-import os
 from typing import Optional, Sequence
 
 import jax

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .se3 import closed_form_inverse_se3, pad_to_4x4
+from .se3 import closed_form_inverse_se3
 
 
 def generate_pixel_grid(H: int, W: int) -> jax.Array:

@@ -21,7 +21,6 @@ against).
 """
 from __future__ import annotations
 
-import re
 from typing import Callable, Optional
 
 import numpy as np

@@ -10,7 +10,7 @@ TrackHead, with the DPT heads reading the tapped intermediate layers
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

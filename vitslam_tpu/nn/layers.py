@@ -13,10 +13,9 @@ fp32 before the kernel.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..ops.attention import scaled_dot_product_attention

@@ -20,9 +20,8 @@ TPU-first design:
 """
 from __future__ import annotations
 
-import functools
 import random as pyrandom
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

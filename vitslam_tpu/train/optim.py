@@ -13,7 +13,6 @@ from __future__ import annotations
 import fnmatch
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import traverse_util

@@ -13,7 +13,7 @@ automatically (the DDP all-reduce equivalent).
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.struct
 import jax

@@ -13,7 +13,6 @@ exactly (run_model.py:306-316) at the cost of more compiles.
 """
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -21,14 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dynamic import DynamicDataset
-from ..io.checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
+from ..io.checkpoint import CheckpointManager, load_checkpoint
 from ..parallel import make_mesh, shard_batch
 from ..slam import ChunkedPipeline, chunk_batch, generate_chunks, merge_chunk_outputs
 from .logging_utils import CSVLogger, StepProgress
 from .losses import MultitaskLoss
 from .optim import build_optimizer, partition_params
 from .train_step import TrainState, make_train_step
-from ..train import merge_outputs_traced  # noqa: F401 (re-export convenience)
 
 
 def sample_chunk_shapes(rng: np.random.Generator, S: int,

@@ -11,8 +11,6 @@ into this environment); all entry points degrade with a clear error.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..geometry import closed_form_inverse_se3, unproject_depth_to_points
