@@ -8,7 +8,7 @@ reference's inference setting (chunk width 5, overlap 1, 518x518 — README
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_CHUNKS (timed chunks, default 8), BENCH_SMALL=1 (tiny
+Env knobs: BENCH_CHUNKS (timed chunks, default 24), BENCH_SMALL=1 (tiny
 config smoke mode), BENCH_WIDTH / BENCH_OVERLAP.
 """
 from __future__ import annotations
@@ -40,7 +40,7 @@ def main():
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     width = int(os.environ.get("BENCH_WIDTH", 5))
     overlap = int(os.environ.get("BENCH_OVERLAP", 1))
-    n_timed = int(os.environ.get("BENCH_CHUNKS", 8))
+    n_timed = int(os.environ.get("BENCH_CHUNKS", 24))
 
     if small:
         from vitslam_tpu.models.presets import small_feature_aligned
