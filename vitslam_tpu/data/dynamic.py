@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -66,11 +66,27 @@ class DynamicDataset:
         seed: int = 0,
         num_prefetch: int = 2,
         steps_per_epoch: int = 1,
+        common_config: Optional[dict] = None,
+        **_,
     ):
+        # reference API parity: DynamicTorchDataset reads img_nums /
+        # fix_aspect_ratio out of its common_config block
+        if common_config:
+            img_nums = common_config.get("img_nums", img_nums)
+            far = common_config.get("fix_aspect_ratio", -1)
+            if far and far > 0:
+                aspect_ratios = (far,)
         if isinstance(dataset_configs_or_datasets, ComposedDataset):
             self.base_dataset = dataset_configs_or_datasets
         else:
             self.base_dataset = ComposedDataset(dataset_configs_or_datasets)
+        empty = [type(d).__name__ for d in self.base_dataset.datasets
+                 if getattr(d, "sequence_list_len", 0) == 0]
+        if empty:
+            raise ValueError(
+                f"dataset(s) found no sequences: {empty} — check the data "
+                "directory paths in the config (e.g. --set vkitti_dir=...)"
+            )
         self.img_nums = tuple(img_nums)
         self.max_img_per_gpu = max_img_per_gpu
         self.aspect_ratios = tuple(aspect_ratios)
