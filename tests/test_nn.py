@@ -184,3 +184,83 @@ def test_flash_static_max_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         out = fa_fn(q, k, v, block_q=128, block_k=128, static_max=24.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_traced_static_max_matches_xla():
+    # the shift may be a traced scalar (derived from learned qk-norm gains
+    # at call time); logits here exceed the old hard-coded 24 by design
+    from vitslam_tpu.ops import flash_attention as fa_fn
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(10)
+    q = 2.5 * jnp.asarray(rng.normal(size=(1, 1, 150, 64)), jnp.float32)
+    k = 2.5 * jnp.asarray(rng.normal(size=(1, 1, 170, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 1, 170, 64)), jnp.float32)
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(64)
+    true_max = float(np.abs(logits).max())
+    assert true_max > 24.0  # past the old fixed shift -> would have NaN'd
+    shift = jnp.asarray(true_max + 1.0)  # traced scalar
+    ref = scaled_dot_product_attention(q, k, v, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.jit(
+            lambda q, k, v, s: fa_fn(q, k, v, block_q=128, block_k=128,
+                                     static_max=s)
+        )(q, k, v, shift)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_qk_shift_guard_dominates_logits():
+    # Drive the qk-norm gains far past the old bound: the derived shift must
+    # upper-bound every achievable logit, so exp(s - shift) cannot overflow
+    # (VERDICT.md Weak #4: guard fires instead of NaNs).
+    from vitslam_tpu.nn.layers import qk_logit_bound
+
+    rng = np.random.default_rng(11)
+    dh = 64
+    for gain in (1.0, 3.0, 10.0, 50.0):
+        g_q = gain * rng.uniform(0.5, 1.5, size=dh).astype(np.float32)
+        b_q = rng.normal(size=dh).astype(np.float32)
+        g_k = gain * rng.uniform(0.5, 1.5, size=dh).astype(np.float32)
+        b_k = rng.normal(size=dh).astype(np.float32)
+
+        x = rng.normal(size=(512, dh)).astype(np.float32)
+        y = rng.normal(size=(512, dh)).astype(np.float32)
+
+        def ln(t, g, b):
+            t = (t - t.mean(-1, keepdims=True)) / t.std(-1, keepdims=True)
+            return t * g + b
+
+        q = ln(x, g_q, b_q)
+        k = ln(y, g_k, b_k)
+        logits = q @ k.T / np.sqrt(dh)
+        bound = float(qk_logit_bound(
+            {"scale": jnp.asarray(g_q), "bias": jnp.asarray(b_q)},
+            {"scale": jnp.asarray(g_k), "bias": jnp.asarray(b_k)}, dh,
+        ))
+        assert bound >= np.abs(logits).max(), (gain, bound, np.abs(logits).max())
+
+
+def test_attention_module_large_gains_stay_finite():
+    # End-to-end: an Attention module whose qk-norm gains drifted to 8x the
+    # init must produce finite outputs through the flash kernel.
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = Attention(dim=64, num_heads=1, qk_norm=True, dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(1, 600, 64)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, v: 8.0 * v if any(
+            getattr(p, "key", None) in ("q_norm", "k_norm") for p in path
+        ) and path[-1].key == "scale" else v,
+        params,
+    )
+    import os
+    os.environ["VITSLAM_ATTN_IMPL"] = "flash"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = m.apply(params, x)
+    finally:
+        del os.environ["VITSLAM_ATTN_IMPL"]
+    assert np.isfinite(np.asarray(out)).all()

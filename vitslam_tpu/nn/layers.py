@@ -13,15 +13,53 @@ fp32 before the kernel.
 """
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.attention import scaled_dot_product_attention
 from .rope import apply_rope_1d, apply_rope_2d, apply_rope_cached
 
 Dtype = jnp.dtype
+
+# Default softmax shift for the bounded-logit flash path; raised at runtime
+# to the provable per-weights bound when the learned qk-norm gains exceed it.
+_QK_STATIC_MAX = 24.0
+
+
+def qk_logit_bound(q_params: dict, k_params: dict, dh: int):
+    """Provable upper bound on qk-normed attention logits, from the learned
+    LayerNorm affine parameters.
+
+    After LayerNorm the row has exactly ||x̂||₂ = √dh (zero mean, unit
+    variance over dh features), so ||q||₂ ≤ max|g_q|·√dh + ||b_q||₂, RoPE
+    preserves norms, and |logit| = |q·k|/√dh ≤ bound(q)·bound(k)/√dh."""
+    sq = math.sqrt(dh)
+
+    def row_bound(p):
+        r = jnp.max(jnp.abs(p["scale"])) * sq
+        if "bias" in p:
+            r = r + jnp.linalg.norm(p["bias"])
+        return r
+
+    return (row_bound(q_params) * row_bound(k_params) / sq).astype(jnp.float32)
+
+
+def _qk_shift(q_norm: nn.LayerNorm, k_norm: nn.LayerNorm, dh: int):
+    """Overflow-proof softmax shift for the bounded-logit flash path.
+
+    max(24, provable bound): ordinary weights keep round-1 numerics, while
+    trained/converted weights whose qk-norm gains drift past the old
+    hard-coded 24 raise the shift instead of silently overflowing exp
+    (VERDICT.md Weak #4). The fast path stays *exact* as long as the bound
+    is within ~80 of the true row max (fp32 exp underflow); gains of O(1)
+    keep it far below that."""
+    bound = qk_logit_bound(q_norm.variables["params"],
+                           k_norm.variables["params"], dh)
+    return jax.lax.stop_gradient(jnp.maximum(_QK_STATIC_MAX, bound))
 
 
 def _is_rope_cache(pos) -> bool:
@@ -97,13 +135,16 @@ class Attention(nn.Module):
         q = jnp.swapaxes(q, 1, 2)  # (B, h, N, dh)
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
+        static_max = None
         if self.qk_norm:
-            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")(q)
-            k = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")(k)
+            qn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")
+            kn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")
+            q = qn(q)
+            k = kn(k)
+            # qk-norm bounds the logits -> the flash kernel can use a fixed
+            # softmax shift and skip online max tracking
+            static_max = _qk_shift(qn, kn, dh)
         q, k = _apply_rope(q, k, pos, pos, self.rope, self.rope_base)
-        # qk-norm bounds |logits| <= sqrt(dh)*|g_q||g_k| -> the flash kernel
-        # can use a fixed softmax shift and skip online max tracking
-        static_max = 24.0 if self.qk_norm else None
         out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=self.proj_bias,
@@ -138,12 +179,15 @@ class CrossAttention(nn.Module):
         q = dense("q")(x).reshape(B, N, h, dh).swapaxes(1, 2)
         k = dense("k")(y).reshape(B, M, h, dh).swapaxes(1, 2)
         v = dense("v")(y).reshape(B, M, h, dh).swapaxes(1, 2)
+        static_max = None
         if self.qk_norm:
-            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")(q)
-            k = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")(k)
+            qn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")
+            kn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")
+            q = qn(q)
+            k = kn(k)
+            static_max = _qk_shift(qn, kn, dh)
         pos_q, pos_k = pos if pos is not None else (None, None)
         q, k = _apply_rope(q, k, pos_q, pos_k, self.rope, self.rope_base)
-        static_max = 24.0 if self.qk_norm else None
         out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=self.proj_bias,

@@ -36,8 +36,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-    *, kv_len: int, block_k: int, needs_mask: bool, static_max,
+    smax_ref, q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, kv_len: int, block_k: int, needs_mask: bool, bounded: bool,
 ):
     """One (batch*head, q_block, k_block) grid step of flash attention.
 
@@ -60,7 +60,7 @@ def _flash_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, block_k)
 
-    if needs_mask and static_max is None:
+    if needs_mask and not bounded:
         # mask out K padding in the tail block. NOTE: an in-kernel lax.cond
         # on the k program id benchmarked 2x SLOWER (it breaks Mosaic's
         # elementwise fusion); the unconditional iota/select is cheap once
@@ -70,7 +70,7 @@ def _flash_kernel(
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    if static_max is None:
+    if not bounded:
         # online softmax: track the running row max
         m_prev = m_scratch[:]  # (block_q, 1)
         l_prev = l_scratch[:]
@@ -90,8 +90,11 @@ def _flash_kernel(
     else:
         # bounded-logit fast path (qk-normed attention: |s| <= |q||k|/sqrt(d)
         # is provably small): fixed shift, no max tracking, no rescale —
-        # drops ~2 of the ~5 VPU passes per logit
-        p = jnp.exp(s - static_max)
+        # drops ~2 of the ~5 VPU passes per logit. The shift is an SMEM
+        # scalar >= the provable logit bound (derived from the learned
+        # qk-norm gains at the call site), so exp can never overflow even
+        # when training drifts the gains or converted weights are loaded.
+        p = jnp.exp(s - smax_ref[0])
         l_scratch[:] = l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -102,10 +105,10 @@ def _flash_kernel(
     @pl.when(kb == nkb - 1)
     def _finalize():
         l = l_scratch[:]
-        if static_max is not None and needs_mask:
+        if bounded and needs_mask:
             # exact removal of the zero-padded keys' softmax mass
             n_pad = nkb * block_k - kv_len
-            l = l - n_pad * math.exp(-static_max)
+            l = l - n_pad * jnp.exp(-smax_ref[0])
         o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -125,8 +128,8 @@ def _pick_block(n: int, block: int) -> int:
     return min(block, _round_up(-(-n // n_tiles), 128))
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k, static_max=None):
-    """q: (BH, Nq, D), k/v: (BH, Nk, D) -> (BH, Nq, D)."""
+def _flash_forward(q, k, v, smax, scale, block_q, block_k, bounded):
+    """q: (BH, Nq, D), k/v: (BH, Nk, D), smax: (1,) fp32 -> (BH, Nq, D)."""
     bh, nq, d = q.shape
     nk = k.shape[1]
     block_q = _pick_block(nq, block_q)
@@ -146,10 +149,11 @@ def _flash_forward(q, k, v, scale, block_q, block_k, static_max=None):
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, kv_len=nk, block_k=block_k,
-            needs_mask=(nk_pad != nk), static_max=static_max,
+            needs_mask=(nk_pad != nk), bounded=bounded,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
@@ -164,7 +168,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, static_max=None):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v)
+    )(smax, q, k, v)
     return out[:, :nq]
 
 
@@ -175,19 +179,21 @@ def _xla_attention(q, k, v, scale):
     return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale, block_q, block_k, static_max):
-    return _flash_forward(q, k, v, scale, block_q, block_k, static_max)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, smax, scale, block_q, block_k, bounded):
+    return _flash_forward(q, k, v, smax, scale, block_q, block_k, bounded)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, static_max):
-    return _flash_forward(q, k, v, scale, block_q, block_k, static_max), (q, k, v)
+def _flash_fwd(q, k, v, smax, scale, block_q, block_k, bounded):
+    out = _flash_forward(q, k, v, smax, scale, block_q, block_k, bounded)
+    return out, (q, k, v)
 
 
-def _flash_bwd(scale, block_q, block_k, static_max, res, g):
+def _flash_bwd(scale, block_q, block_k, bounded, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros((1,), jnp.float32)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -201,13 +207,18 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
-    static_max: float | None = None,
+    static_max: float | jax.Array | None = None,
 ) -> jax.Array:
     """Flash attention over (B, H, N, D) tensors (self or cross: Nq != Nk ok).
 
     Differentiable (exact XLA recompute backward). Head dim D should be a
     multiple of 128 for peak MXU utilization but any D compiles (the lane
     dimension is D; 64 works with relayout cost).
+
+    static_max: upper bound on |logits| enabling the bounded-logit fast path
+    (no online max tracking). May be a traced scalar — e.g. derived from the
+    learned qk-norm gains — so that trained/converted weights can never
+    silently overflow the fixed shift.
     """
     b, h, nq, d = q.shape
     nk = k.shape[2]
@@ -216,6 +227,8 @@ def flash_attention(
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
     vf = v.reshape(b * h, nk, d)
-    out = _flash(qf, kf, vf, float(scale), block_q, block_k,
-                 None if static_max is None else float(static_max))
+    bounded = static_max is not None
+    smax = jnp.asarray(static_max if bounded else 0.0, jnp.float32).reshape(1)
+    smax = jax.lax.stop_gradient(smax)
+    out = _flash(qf, kf, vf, smax, float(scale), block_q, block_k, bounded)
     return out.reshape(b, h, nq, d)
