@@ -20,19 +20,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Persistent XLA compilation cache: the flagship backbone is large and the
-# driver re-runs this file every round — cached executables cut minutes of
-# recompiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-
 BASELINE_FPS = 19.0  # reference README.md:130 (feature-aligned, ~12GB GPU)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent XLA compilation cache — must go through jax.config.update:
+    # this machine's sitecustomize imports jax at interpreter startup, so
+    # jax.config is frozen from the env before any code here runs (env-var
+    # setdefault is silently ignored).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from vitslam_tpu.models.presets import flagship
     from vitslam_tpu.slam import ChunkedPipeline

@@ -8,6 +8,8 @@ import pytest
 
 from vitslam_tpu import geometry as G
 
+pytestmark = pytest.mark.quick
+
 
 def random_rotation(rng):
     q = rng.normal(size=4)

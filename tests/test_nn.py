@@ -12,6 +12,8 @@ from vitslam_tpu.nn import (
 from vitslam_tpu.ops.attention import scaled_dot_product_attention
 from vitslam_tpu.ops import flash_attention
 
+pytestmark = pytest.mark.quick
+
 
 class TestRope:
     def test_rope_preserves_norm(self):

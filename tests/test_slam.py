@@ -110,6 +110,7 @@ class TestFeatureAligned:
 
 
 class TestPointAligned:
+    @pytest.mark.quick  # the quick tier's one e2e variant (pytest -m quick)
     def test_end_to_end(self):
         preds, _ = _run_variant(
             PointAlignedVGGT, "sim3_from_points", n=6, width=4, overlap=2

@@ -88,13 +88,13 @@ def main(argv=None):
                              "environment's default backend")
     args = parser.parse_args(argv)
 
-    # persistent compile cache before jax init
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.getcwd(), ".jax_cache"),
-    )
-
     import jax
+
+    # persistent compile cache — via jax.config (sitecustomize imports jax
+    # at interpreter startup, so env vars set here no longer reach it)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)

@@ -128,6 +128,13 @@ class Metrics:
         self.mode = mode
         self.num_overlap = overlap[0] if isinstance(overlap, (list, tuple)) else overlap
         self.chunk_width = chunk_width[0] if isinstance(chunk_width, (list, tuple)) else chunk_width
+        # full ranges: validation samples width/overlap randomly within them
+        # per val step, like the reference (run_model.py:294-316 with
+        # val_chunk_width = cfg.metrics.chunk_width, :201-205)
+        as_range = lambda v: (tuple(v) if isinstance(v, (list, tuple))
+                              else (v, v))
+        self.overlap_range = as_range(overlap)
+        self.chunk_width_range = as_range(chunk_width)
         self.gt_alignment_type = gt_alignment_type
         self.full_seq_sample_mode = full_seq_sample_mode
         self.use_random_sequences = use_random_sequences

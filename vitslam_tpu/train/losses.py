@@ -36,12 +36,38 @@ def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 def _masked_quantile(x: jax.Array, mask: jax.Array, q: float) -> jax.Array:
-    """Quantile of x over mask==1 entries (invalid -> +inf, sorted indexing)."""
+    """Quantile of x over mask==1 entries (invalid -> +inf, sorted indexing).
+
+    Index convention matches the reference's kthvalue-based torch_quantile
+    (loss.py:459-525): 0-based index round(q * (n_valid - 1)), 'nearest'
+    interpolation."""
     flat = jnp.where(mask.astype(bool).reshape(-1), x.reshape(-1), jnp.inf)
     order = jnp.sort(flat)
     n_valid = jnp.sum(mask).astype(jnp.int32)
-    idx = jnp.clip((q * (n_valid - 1)).astype(jnp.int32), 0, flat.shape[0] - 1)
+    idx = jnp.clip(jnp.round(q * (n_valid - 1)).astype(jnp.int32),
+                   0, flat.shape[0] - 1)
     return order[idx]
+
+
+def _quantile_filter_mask(loss: jax.Array, mask: jax.Array,
+                          valid_range: float, min_elements: int = 1000,
+                          hard_max: float = 100.0):
+    """Static-shape equivalent of the reference's filter_by_quantile
+    (loss.py:421-456): clamp elements at hard_max, drop those >= the
+    valid_range quantile — but only when more than min_elements are valid
+    before AND after filtering.
+
+    Returns (clamped_loss, filtered_mask)."""
+    n_valid = jnp.sum(mask)
+    clamped = jnp.minimum(loss, hard_max)
+    thresh = jnp.minimum(
+        _masked_quantile(clamped, mask, valid_range), hard_max
+    )
+    strict_mask = mask * (clamped < thresh).astype(jnp.float32)
+    apply = (n_valid > min_elements) & (jnp.sum(strict_mask) > min_elements)
+    out_mask = jnp.where(apply, strict_mask, mask)
+    out_loss = jnp.where(n_valid > min_elements, clamped, loss)
+    return out_loss, out_mask
 
 
 def compute_warmup_weight(cfg: dict, current_step, total_steps: int,
@@ -113,7 +139,7 @@ def _relative_poses_masked(extr4: jax.Array, offset: jax.Array):
 def relative_pose_loss(pred: dict, batch: dict, rng: jax.Array,
                        loss_type: str = "l1", weight_trans: float = 1.0,
                        weight_rot: float = 1.0, scale_agnostic: bool = False,
-                       **_):
+                       large_offset=None, **_):
     pe = jnp.asarray(pred["pose_enc"], jnp.float32)
     pred_extr, _ = pose_encoding_to_extri_intri(pe, (1, 1), build_intrinsics=False)
     pred4 = pad_to_4x4(pred_extr)
@@ -121,7 +147,10 @@ def relative_pose_loss(pred: dict, batch: dict, rng: jax.Array,
     S = gt4.shape[1]
     gate = _valid_frame_gate(batch)
 
-    large = jax.random.randint(rng, (), S // 2, max(S // 2 + 1, S))
+    if large_offset is None:
+        large = jax.random.randint(rng, (), S // 2, max(S // 2 + 1, S))
+    else:
+        large = jnp.asarray(large_offset)
     losses_t, losses_r, masks = [], [], []
     for off in (jnp.asarray(1), large):
         gt_rel, valid = _relative_poses_masked(gt4, off)
@@ -163,8 +192,7 @@ def depth_loss(pred: dict, batch: dict, valid_range: float = -1.0, **_):
         jnp.log(d_pred.clip(1e-8)) - jnp.log(d_gt.clip(1e-8))
     ) * conf
     if valid_range > 0:
-        q = _masked_quantile(loss, mask, valid_range)
-        mask = mask * (loss <= q).astype(jnp.float32)
+        loss, mask = _quantile_filter_mask(loss, mask, valid_range)
     loss = check_and_fix_inf_nan(loss)
     return {"loss_depth": _masked_mean(loss, mask) * gate}
 

@@ -251,21 +251,34 @@ class Trainer:
             self.metrics.log_dir = self.logger.log_dir
         batch = next(self.val_data.get_loader(epoch=step))
         batch = self.normalize_batch(batch)
+        # validation reuses the training-style chunked forward: random
+        # width/overlap sampled per val step from the *metrics* ranges,
+        # dedup merge at the sampled overlap, loss at the current step's
+        # warmup weights with a per-step RNG (reference run_model.py:255-263,
+        # 294-340: val_chunk_width = cfg.metrics.chunk_width and
+        # alignAndConvertOutputs(..., overlap=random_overlap) in eval)
+        S = batch["images"].shape[1]
+        val_rng = np.random.default_rng(self.seed * 100003 + step)
+        width, overlap = sample_chunk_shapes(
+            val_rng, S, self.metrics.chunk_width_range,
+            self.metrics.overlap_range,
+        )
         preds, merged = pipeline.run_sequence(
             {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
-            sample_mode="chunk_overlap",
-            chunk_width=self.metrics.chunk_width,
-            num_overlap=self.metrics.num_overlap,
+            sample_mode=self.metrics.full_seq_sample_mode,
+            chunk_width=width,
+            num_overlap=overlap,
             gt_alignment_type=self.gt_alignment_type,
         )
-        # validation losses on the merged outputs (reference logs val losses
-        # with sync_dist, run_model.py:262-263)
-        val_losses = {}
+        val_losses = {"chunk_width": float(width),
+                      "chunk_overlap": float(overlap)}
         try:
-            ld = self.loss(preds, merged, step, jax.random.PRNGKey(0))
-            val_losses = {k: float(v) for k, v in ld.items()}
+            ld = self.loss(preds, merged, step,
+                           jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                              step))
+            val_losses.update({k: float(v) for k, v in ld.items()})
         except Exception as e:  # heads disabled / missing keys
-            val_losses = {"loss_error": float("nan")}
+            val_losses["loss_error"] = float("nan")
             print(f"val loss skipped: {e}")
         batch_metrics, seq_metrics = self.metrics(
             preds, merged, pipeline, self.val_data.datasets
