@@ -31,15 +31,54 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-# (source regex, replacement) applied in order; first match wins.
+# (source regex, replacement) applied in order; first match wins; a None
+# replacement drops the key (buffers our models don't keep).
 # Target naming = this framework's torch-style export naming
 # (io.torch_convert.export_torch_style of the flax params).
-VGGT_KEY_RULES: list[tuple[str, str]] = [
+_DPT_RULES: list[tuple[str, str | None]] = [
+    # VGGT DPTHead internals (vggt/heads/dpt_head.py naming)
+    (r"projects\.(\d)\.(.*)$", r"project_\1.\2"),
+    (r"resize_layers\.(\d)\.(.*)$", r"resize_layer_\1.\2"),
+    (r"scratch\.layer(\d)_rn\.(.*)$", None),  # placeholder; index shifts below
+    (r"scratch\.refinenet(\d)\.resConfUnit1\.(.*)$", None),
+    (r"scratch\.refinenet(\d)\.resConfUnit2\.(.*)$", None),
+    (r"scratch\.refinenet(\d)\.out_conv\.(.*)$", None),
+    (r"scratch\.output_conv1\.(.*)$", r"head_conv1.\1"),
+    (r"scratch\.output_conv2\.0\.(.*)$", r"head_conv2.\1"),
+    (r"scratch\.output_conv2\.2\.(.*)$", r"head_out.\1"),
+]
+
+
+def _translate_dpt(rest: str) -> str | None:
+    """VGGT DPTHead sub-key -> our DPTHead naming. The 1-based layerK_rn /
+    refinenetK indices become 0-based (refinenet4 fuses the deepest tap =
+    our fusion_3)."""
+    m = re.match(r"^scratch\.layer(\d)_rn\.(.*)$", rest)
+    if m:
+        return f"scratch_{int(m.group(1)) - 1}.{m.group(2)}"
+    m = re.match(r"^scratch\.refinenet(\d)\.resConfUnit([12])\.(.*)$", rest)
+    if m:
+        if (m.group(1), m.group(2)) == ("4", "1"):
+            # refinenet4 fuses the deepest tap alone (no skip input), so its
+            # resConfUnit1 params exist in the checkpoint but are dead — drop
+            return None
+        return f"fusion_{int(m.group(1)) - 1}.rcu{m.group(2)}.{m.group(3)}"
+    m = re.match(r"^scratch\.refinenet(\d)\.out_conv\.(.*)$", rest)
+    if m:
+        return f"fusion_{int(m.group(1)) - 1}.out_conv.{m.group(2)}"
+    for pat, repl in _DPT_RULES:
+        if repl is not None and re.match(pat, rest):
+            return re.sub(pat, repl, rest)
+    return None
+
+
+VGGT_KEY_RULES: list[tuple[str, str | None]] = [
     # DINOv2 patch embedding inside the aggregator
     (r"^aggregator\.patch_embed\.patch_embed\.proj\.(.*)$",
      r"params.core.aggregator.patch_embed.proj.\1"),
-    (r"^aggregator\.patch_embed\.pos_embed$",
-     r"params.core.aggregator.patch_embed.pos_embed"),
+    (r"^aggregator\.patch_embed\.(pos_embed|cls_token|register_tokens)$",
+     r"params.core.aggregator.patch_embed.\1"),
+    (r"^aggregator\.patch_embed\.mask_token$", None),  # masked-training only
     (r"^aggregator\.patch_embed\.blocks\.(\d+)\.(.*)$",
      r"params.core.aggregator.patch_embed.blocks.\1.block.\2"),
     (r"^aggregator\.patch_embed\.norm\.(.*)$",
@@ -49,16 +88,36 @@ VGGT_KEY_RULES: list[tuple[str, str]] = [
      r"params.core.aggregator.layers.\1.frame_block.\2"),
     (r"^aggregator\.global_blocks\.(\d+)\.(.*)$",
      r"params.core.aggregator.layers.\1.global_block.\2"),
-    # camera/register tokens
+    # camera/register tokens (values: leading singleton squeezed)
     (r"^aggregator\.camera_token$", r"params.core.aggregator.camera_token"),
     (r"^aggregator\.register_token$", r"params.core.aggregator.register_token"),
-    # heads
+    # camera head (VGGT CameraHead naming -> ours)
+    (r"^camera_head\.trunk\.(\d+)\.(.*)$",
+     r"params.core.camera_head.trunk_\1.\2"),
+    (r"^camera_head\.poseLN_modulation\.1\.(.*)$",
+     r"params.core.camera_head.modulation.\1"),
     (r"^camera_head\.(.*)$", r"params.core.camera_head.\1"),
-    (r"^depth_head\.(.*)$", r"params.core.depth_head.\1"),
-    (r"^point_head\.(.*)$", r"params.core.point_head.\1"),
-    (r"^track_head\.(.*)$", r"params.core.track_head.\1"),
+    (r"^track_head\.(.*)$", None),  # disabled in every reference config
     (r"^alignment_head\.(.*)$", r"params.alignment_head.\1"),
 ]
+
+# VGGT checkpoint layout fixes applied to VALUES at translate time:
+#   * aggregator camera/register tokens are stored (1, 2, K, C); ours are
+#     (2, K, C) — squeeze the leading singleton;
+#   * DPT resize_layers.0/1 are ConvTranspose2d: torch stores IOHW (the
+#     generic conv rule expects OIHW) — swap in/out first.
+VALUE_TRANSFORMS: list[tuple[str, "object"]] = [
+    (r"^aggregator\.(camera_token|register_token)$", lambda v: v[0]),
+    (r"^(depth_head|point_head)\.resize_layers\.[01]\.weight$",
+     lambda v: v.transpose(1, 0, 2, 3)),
+]
+
+
+def transform_value(key: str, v):
+    for pat, fn in VALUE_TRANSFORMS:
+        if re.match(pat, key):
+            return fn(v)
+    return v
 
 # torch leaf-name -> flax leaf-name
 LEAF_RENAMES = {
@@ -70,18 +129,29 @@ LEAF_RENAMES = {
 
 def translate_key(key: str) -> str | None:
     key = key.removeprefix("model.")
-    for pat, repl in VGGT_KEY_RULES:
-        m = re.match(pat, key)
-        if m:
-            out = re.sub(pat, repl, key)
-            head, _, leaf = out.rpartition(".")
-            # LayerNorm weight -> scale; Linear/Conv weight -> kernel
-            if leaf == "weight":
-                leaf = "scale" if re.search(r"norm", head.split(".")[-1]) else "kernel"
-            else:
-                leaf = LEAF_RENAMES.get(leaf, leaf)
-            return f"{head}.{leaf}"
-    return None
+    out = None
+    m = re.match(r"^(depth_head|point_head)\.(.*)$", key)
+    if m:
+        rest = _translate_dpt(m.group(2))
+        if rest is None:
+            return None
+        out = f"params.core.{m.group(1)}.{rest}"
+    else:
+        for pat, repl in VGGT_KEY_RULES:
+            if re.match(pat, key):
+                if repl is None:
+                    return None
+                out = re.sub(pat, repl, key)
+                break
+    if out is None:
+        return None
+    head, _, leaf = out.rpartition(".")
+    # LayerNorm weight -> scale; Linear/Conv weight -> kernel
+    if leaf == "weight":
+        leaf = "scale" if re.search(r"norm", head.split(".")[-1]) else "kernel"
+    else:
+        leaf = LEAF_RENAMES.get(leaf, leaf)
+    return f"{head}.{leaf}"
 
 
 def load_torch_state_dict(path: str) -> dict:
@@ -134,7 +204,7 @@ def main():
         if nk is None:
             dropped.append(k)
         else:
-            mapped[nk] = np.asarray(v)
+            mapped[nk] = transform_value(k, np.asarray(v))
     if dropped:
         print(f"unmatched source keys ({len(dropped)}), e.g.:")
         for k in dropped[:20]:

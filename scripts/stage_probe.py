@@ -1,0 +1,111 @@
+"""Per-stage timing of the flagship inference pipeline on the real chip:
+batched encode (aggregator / DPT heads / camera head separately) and the
+sequential align stage. Iteration tool for finding the FPS bottleneck.
+
+Usage: python scripts/stage_probe.py [encode_batch]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from vitslam_tpu.models.presets import flagship
+    from vitslam_tpu.slam import ChunkedPipeline
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    width, overlap, H = 5, 1, 518
+    model = flagship()
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (1, width, 3, H, H), jnp.bfloat16)
+    group = jax.random.uniform(rng, (B, width, 3, H, H), jnp.bfloat16)
+
+    pipe = ChunkedPipeline(model, encode_batch=B)
+    pipe.init_params(rng, images, overlap)
+    params = pipe.params
+
+    def fence(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        return float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:16]))
+
+    def timeit(name, fn, *args, iters=6):
+        t0 = time.time()
+        out = fn(*args)
+        fence(out)
+        print(f"{name:24s} compile+warm {time.time()-t0:6.1f}s", flush=True)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(iters):
+                out = fn(*args)
+                fence(out)
+            best = min(best, (time.time() - t0) / iters)
+        print(f"{name:24s} {best*1e3:9.1f} ms", flush=True)
+        return out
+
+    # full encode (aggregator + all heads), batched over B chunks
+    timeit("encode_fn(B)", lambda g: pipe._encode_fn(params, g), group)
+
+    # aggregator alone (returns taps; fence touches one leaf slice)
+    agg = jax.jit(lambda p, im: model.apply(
+        p, im, method=lambda m, im: m.core.encode(im))[0][-1][..., :1, :1])
+    timeit("aggregator(B)", lambda g: agg(params, g), group)
+
+    # heads alone, on fixed taps from a 1-chunk encode broadcast to B
+    taps_fn = jax.jit(lambda p, im: model.apply(
+        p, im, method=lambda m, im: m.core.encode(im)))
+    taps, psi = taps_fn(params, group)
+
+    dpt = jax.jit(lambda p, taps, im: model.apply(
+        p, taps, im, method=lambda m, t, im: m.core.decode_point(t, im, 5)))
+    timeit("point_head(B)", lambda: dpt(params, taps, group))
+    dpt2 = jax.jit(lambda p, taps, im: model.apply(
+        p, taps, im, method=lambda m, t, im: m.core.decode_depth(t, im, 5)))
+    timeit("depth_head(B)", lambda: dpt2(params, taps, group))
+    cam = jax.jit(lambda p, taps: model.apply(
+        p, taps, method=lambda m, t: m.core.decode_camera(t)))
+    timeit("camera_head(B)", lambda: cam(params, taps))
+
+    # align stage: one chunk, sequential (state-carried)
+    raw1 = jax.tree_util.tree_map(
+        lambda x: x[:1], pipe._encode_fn(params, group))
+    shape = tuple(images.shape)
+    outputs, state = pipe._align_fn(params, raw1, shape, overlap, None, None,
+                                    False, None)
+    fence(outputs)
+
+    def align_once(st):
+        out, st2 = pipe._align_fn(params, raw1, shape, overlap, st, None,
+                                  False, None)
+        return out, st2
+
+    t0 = time.time()
+    out, state = align_once(state)
+    fence(out)
+    print(f"{'align_fn(1)':24s} compile+warm {time.time()-t0:6.1f}s", flush=True)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(6):
+            out, state = align_once(state)
+            fence(out)
+        best = min(best, (time.time() - t0) / 6)
+    print(f"{'align_fn(1)':24s} {best*1e3:9.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

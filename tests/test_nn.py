@@ -266,3 +266,45 @@ def test_attention_module_large_gains_stay_finite():
     finally:
         del os.environ["VITSLAM_ATTN_IMPL"]
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMatmulResize:
+    """ops/resize.py — MXU-matmul bilinear vs jax.image.resize semantics."""
+
+    def _check(self, h, w, oh, ow, tol=2e-5):
+        from vitslam_tpu.ops.resize import resize_bilinear_nhwc
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)), jnp.float32)
+        got = resize_bilinear_nhwc(x, oh, ow)
+        want = jax.image.resize(
+            x, (2, oh, ow, 3), method="bilinear", antialias=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=tol)
+
+    def test_upscale(self):
+        self._check(37, 37, 74, 74)
+
+    def test_upscale_noninteger(self):
+        self._check(37, 29, 100, 80)
+
+    def test_downscale_antialiased(self):
+        self._check(64, 64, 24, 24)
+
+    def test_mixed(self):
+        self._check(40, 64, 80, 32)
+
+    def test_identity(self):
+        from vitslam_tpu.ops.resize import resize_bilinear_nhwc
+
+        x = jnp.ones((1, 8, 8, 2))
+        assert resize_bilinear_nhwc(x, 8, 8) is x
+
+    def test_dpt_shapes(self):
+        # the DPT head's actual resize sites at 518^2: patch grid 37 -> 74,
+        # 148, 296 and the final full-res map. At 296->518 jax.image.resize's
+        # fp32 sample positions drift ~1e-4 from our float64 weights — the
+        # float64 weights are the more accurate ones, and the head computes
+        # in bf16 (~1e-2) anyway.
+        self._check(37, 37, 148, 148)
+        self._check(296, 296, 518, 518, tol=5e-4)

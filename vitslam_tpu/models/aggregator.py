@@ -76,9 +76,14 @@ class _EmbedBlockScan(nn.Module):
 
 
 class PatchEmbedViT(nn.Module):
-    """DINOv2-style ViT patch embedding: conv projection + scanned
-    transformer blocks + final LayerNorm, returning patch tokens only.
-    ``depth=0`` -> pure conv projection (tiny test configs)."""
+    """DINOv2 ViT patch embedding (structure parity with the vit_large/14
+    backbone inside VGGT's aggregator, so real DINOv2 weights load 1:1):
+    conv projection, a cls token + interpolated pos embedding, register
+    tokens inserted after the cls token (DINOv2-with-registers ordering:
+    registers get NO pos embedding), scanned transformer blocks over ALL
+    tokens, final LayerNorm — returning the normed patch tokens only
+    (DINOv2 ``x_norm_patchtokens``). ``depth=0`` -> pure conv projection
+    (tiny test configs)."""
     img_size: int = 518
     patch_size: int = 14
     embed_dim: int = 1024
@@ -86,6 +91,7 @@ class PatchEmbedViT(nn.Module):
     num_heads: int = 16
     mlp_ratio: float = 4.0
     init_values: float = 1.0
+    num_register_tokens: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
 
@@ -102,11 +108,38 @@ class PatchEmbedViT(nn.Module):
         )(x)
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(n, gh * gw, self.embed_dim)
+
+        ng = self.img_size // self.patch_size  # native pos-embed grid
         pos_embed = self.param(
             "pos_embed", nn.initializers.normal(stddev=0.02),
-            (1, gh * gw, self.embed_dim), jnp.float32,
+            (1, 1 + ng * ng, self.embed_dim), jnp.float32,
         )
-        x = x + pos_embed.astype(self.dtype)
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=1e-6),
+            (1, 1, self.embed_dim), jnp.float32,
+        )
+        cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
+        if (gh, gw) != (ng, ng):
+            # DINOv2 interpolate_pos_encoding (antialias=True, offset 0):
+            # bicubic resample of the native grid to (gh, gw)
+            patch_pos = jax.image.resize(
+                patch_pos.reshape(ng, ng, self.embed_dim),
+                (gh, gw, self.embed_dim), method="bicubic", antialias=True,
+            ).reshape(1, gh * gw, self.embed_dim)
+        x = x + patch_pos.astype(self.dtype)
+        cls = jnp.broadcast_to((cls_token + cls_pos).astype(self.dtype),
+                               (n, 1, self.embed_dim))
+        parts = [cls]
+        if self.num_register_tokens:
+            reg = self.param(
+                "register_tokens", nn.initializers.normal(stddev=1e-6),
+                (1, self.num_register_tokens, self.embed_dim), jnp.float32,
+            )
+            parts.append(jnp.broadcast_to(
+                reg.astype(self.dtype),
+                (n, self.num_register_tokens, self.embed_dim)))
+        x = jnp.concatenate(parts + [x], axis=1)
+
         if self.depth > 0:
             scan = nn.scan(
                 _EmbedBlockScan,
@@ -117,7 +150,7 @@ class PatchEmbedViT(nn.Module):
               self.init_values, self.dtype, self.remat, name="blocks")
             x, _ = scan(x, None)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
-        return x
+        return x[:, 1 + self.num_register_tokens:]
 
 
 class _AggPairScan(nn.Module):

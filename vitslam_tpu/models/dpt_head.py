@@ -1,11 +1,17 @@
 """DPTHead — dense prediction (depth / point-map) decoder over the
 aggregator's tapped token layers.
 
-Behavior parity with VGGT's DPTHead (SURVEY.md §2.9a, import site
-aligned_vggt/models/featureAligned_vggt.py:7,28-29): four tapped layers are
-projected to a channel pyramid, resampled to four scales of the patch grid,
-fused top-down through residual conv units, upsampled to pixel resolution
-and decoded to ``output_dim`` channels — last channel is confidence.
+Structural parity with VGGT's DPTHead (SURVEY.md §2.9a, import site
+aligned_vggt/models/featureAligned_vggt.py:7,28-29), so real VGGT-1B
+checkpoints load 1:1: four tapped layers are projected to a channel pyramid
+(``project_i`` = VGGT ``projects.i``), resampled with **learned** resize
+layers (``resize_layer_0/1`` = ConvTranspose k4s4 / k2s2, ``resize_layer_3``
+= strided 3x3 conv — VGGT ``resize_layers``), reduced by 3x3 convs
+(``scratch_i`` = ``scratch.layer{i+1}_rn``), fused top-down through residual
+conv units (``fusion_3..0`` = ``scratch.refinenet4..1``; every fusion block
+upsamples 2x with align-corners bilinear), then decoded at half/full pixel
+resolution (``head_conv1/head_conv2/head_out`` = ``scratch.output_conv1``,
+``output_conv2.0``, ``output_conv2.2``).
 
 Activations:
   * ``exp``      — positive map via exp (depth head, output_dim=2);
@@ -13,21 +19,78 @@ Activations:
   * ``linear``   — identity.
   * conf ``expp1`` — 1 + exp(x) (confidence >= 1); ``sigmoid`` supported.
 
-TPU notes: all convs run in bf16 NHWC (fp32 params); resizes are bilinear
-``jax.image.resize`` which XLA lowers to gathers/convs on device; the final
-activation runs in fp32.
+TPU notes: all convs run in bf16 NHWC (fp32 params); the k=s transposed
+convs are expressed as one matmul + pixel interleave (exactly torch
+ConvTranspose2d with padding 0 — no kernel-window overlap at k=s); bilinear
+resizes ride MXU matmuls (ops/resize.py, align_corners=True like the
+reference's F.interpolate calls); the final activation runs in fp32.
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import resize_bilinear_nhwc
 
 
 def _resize(x: jax.Array, h: int, w: int) -> jax.Array:
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
+    # align_corners=True: the reference DPT's F.interpolate convention
+    return resize_bilinear_nhwc(x, h, w, align_corners=True)
+
+
+@functools.lru_cache(maxsize=32)
+def _dpt_pos_embed(ph: int, pw: int, dim: int, img_w: int, img_h: int,
+                   ratio: float = 0.1, omega_0: float = 100.0) -> np.ndarray:
+    """VGGT DPTHead._apply_pos_embed: a fixed (non-learned) 2-D sin-cos
+    embedding over an aspect-corrected uv grid in [-1, 1], scaled by
+    ``ratio`` and added to each projected tap (VGGT create_uv_grid /
+    position_grid_to_embed, omega_0=100)."""
+    aspect = img_w / img_h
+    diag = float(np.hypot(aspect, 1.0))
+    span_x, span_y = aspect / diag, 1.0 / diag
+    xs = np.linspace(-span_x * (pw - 1) / pw, span_x * (pw - 1) / pw, pw)
+    ys = np.linspace(-span_y * (ph - 1) / ph, span_y * (ph - 1) / ph, ph)
+
+    def sincos(pos: np.ndarray, d: int) -> np.ndarray:
+        omega = 1.0 / omega_0 ** (np.arange(d // 2, dtype=np.float64) / (d / 2.0))
+        out = pos.reshape(-1)[:, None] * omega[None]
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    uu, vv = np.meshgrid(xs, ys)  # (ph, pw): uu varies along x/cols
+    emb = np.concatenate([sincos(uu, dim // 2), sincos(vv, dim // 2)], axis=-1)
+    return (ratio * emb.reshape(ph, pw, dim)).astype(np.float32)
+
+
+class StridedUpsample(nn.Module):
+    """k=s transposed conv as matmul + pixel interleave.
+
+    Exactly torch ``ConvTranspose2d(cin, features, k, stride=k)`` (padding
+    0): with no kernel-window overlap every output pixel (k*i+di, k*j+dj)
+    is x[i, j] @ W[di, dj] + b. Param layout matches flax Conv
+    (kh, kw, in, out) so the checkpoint converter's layout rules apply
+    unchanged (torch IOHW -> permute(2, 3, 0, 1) -> here)."""
+    features: int
+    factor: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.factor
+        B, H, W, cin = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        y = jnp.einsum("bhwc,ijco->bhwijo", x, w.astype(self.dtype))
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, H * k, W * k, self.features
+        )
+        return y + b.astype(self.dtype)
 
 
 class ResidualConvUnit(nn.Module):
@@ -46,6 +109,9 @@ class ResidualConvUnit(nn.Module):
 
 
 class FeatureFusionBlock(nn.Module):
+    """VGGT/DPT FeatureFusionBlock: skip-add through resConfUnit1, refine
+    with resConfUnit2, upsample (2x or to ``out_hw``) with align-corners
+    bilinear, 1x1 out_conv."""
     features: int
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -54,8 +120,9 @@ class FeatureFusionBlock(nn.Module):
         if skip is not None:
             x = x + ResidualConvUnit(self.features, self.dtype, name="rcu1")(skip)
         x = ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
-        if out_hw is not None:
-            x = _resize(x, *out_hw)
+        if out_hw is None:
+            out_hw = (2 * x.shape[1], 2 * x.shape[2])
+        x = _resize(x, *out_hw)
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="out_conv")(x)
         return x
@@ -69,6 +136,7 @@ class DPTHead(nn.Module):
     activation: str = "inv_log"
     conf_activation: str = "expp1"
     patch_size: int = 14
+    pos_embed: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -91,17 +159,27 @@ class DPTHead(nn.Module):
         gh, gw = H // self.patch_size, W // self.patch_size
         assert len(token_list) == 4, "DPTHead expects 4 tapped layers"
 
-        # scales of the feature pyramid relative to the patch grid
-        scales = (4.0, 2.0, 1.0, 0.5)
         feats = []
         for i, tokens in enumerate(token_list):
             t = tokens[:, :, patch_start_idx:, :].astype(self.dtype)
             t = t.reshape(B * S, gh, gw, self.dim_in)
             t = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"project_{i}")(t)
-            th = max(1, int(gh * scales[i]))
-            tw = max(1, int(gw * scales[i]))
-            t = _resize(t, th, tw)
+            if self.pos_embed:
+                t = t + jnp.asarray(
+                    _dpt_pos_embed(gh, gw, self.out_channels[i], W, H),
+                    self.dtype)
+            # learned resampling (VGGT resize_layers): 4x, 2x, 1x, 0.5x
+            if i == 0:
+                t = StridedUpsample(self.out_channels[i], 4, self.dtype,
+                                    name="resize_layer_0")(t)
+            elif i == 1:
+                t = StridedUpsample(self.out_channels[i], 2, self.dtype,
+                                    name="resize_layer_1")(t)
+            elif i == 3:
+                t = nn.Conv(self.out_channels[i], (3, 3), strides=(2, 2),
+                            padding=1, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="resize_layer_3")(t)
             t = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"scratch_{i}")(t)
@@ -117,6 +195,7 @@ class DPTHead(nn.Module):
         y = FeatureFusionBlock(self.features, self.dtype, name="fusion_1")(
             y, skip=f1, out_hw=(f0.shape[1], f0.shape[2])
         )
+        # last fusion upsamples 2x (VGGT refinenet1 default scale_factor=2)
         y = FeatureFusionBlock(self.features, self.dtype, name="fusion_0")(y, skip=f0)
 
         y = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..data.dynamic import DynamicDataset
 from ..io.checkpoint import CheckpointManager, load_checkpoint
+from ..io.orbax_ckpt import ShardedCheckpointManager
 from ..parallel import make_mesh, shard_batch
 from ..slam import ChunkedPipeline, chunk_batch, generate_chunks, merge_chunk_outputs
 from .logging_utils import CSVLogger, StepProgress
@@ -102,7 +103,13 @@ class Trainer:
         self.logger = CSVLogger(log_cfg.get("log_dir", "logs"), self.exp_name)
         self.log_freq = int(log_cfg.get("log_freq", 10))
         ckpt_cfg = cfg.get("checkpoint", {})
-        self.ckpt = CheckpointManager(
+        # backend "orbax" = sharded multi-host writes (io/orbax_ckpt.py):
+        # every process writes its addressable shards; "msgpack" (default)
+        # gathers to host 0 — fine single-host, same resume semantics.
+        self._ckpt_backend = str(ckpt_cfg.get("backend", "msgpack"))
+        mgr_cls = (ShardedCheckpointManager if self._ckpt_backend == "orbax"
+                   else CheckpointManager)
+        self.ckpt = mgr_cls(
             ckpt_cfg.get("save_dir", "ckpt"), self.exp_name,
             save_freq=int(ckpt_cfg.get("save_freq", 500)),
         )
@@ -139,7 +146,10 @@ class Trainer:
         if self.resume:
             path = self.ckpt.resume_path()
             if path:
-                self.state = load_checkpoint(path, self.state)
+                if self._ckpt_backend == "orbax":
+                    self.state = self.ckpt.restore(self.state)
+                else:
+                    self.state = load_checkpoint(path, self.state)
                 print(f"resumed from {path} at step {int(self.state.step)}")
         return self.state
 
