@@ -41,6 +41,7 @@ def main():
     from vitslam_tpu.slam import ChunkedPipeline
 
     small = os.environ.get("BENCH_SMALL", "0") == "1"
+    variant = os.environ.get("BENCH_MODEL", "feature")
     width = int(os.environ.get("BENCH_WIDTH", 5))
     overlap = int(os.environ.get("BENCH_OVERLAP", 1))
     n_timed = int(os.environ.get("BENCH_CHUNKS", 24))
@@ -49,6 +50,14 @@ def main():
         from vitslam_tpu.models.presets import small_feature_aligned
         model = small_feature_aligned()
         H = W = 224
+    elif variant == "point":
+        from vitslam_tpu.models.presets import flagship_point_aligned
+        model = flagship_point_aligned()
+        H = W = 518
+    elif variant == "pose":
+        from vitslam_tpu.models.presets import flagship_pose_aligned
+        model = flagship_pose_aligned()
+        H = W = 518
     else:
         model = flagship()
         H = W = 518
@@ -69,7 +78,8 @@ def main():
     # the tunneled axon backend block_until_ready does not actually block,
     # so a device->host transfer is the only honest fence.
     def fence(outputs):
-        return float(jnp.sum(outputs["pose_enc"]))
+        key = "pose_enc" if "pose_enc" in outputs else sorted(outputs)[0]
+        return float(jnp.sum(outputs[key].astype(jnp.float32).ravel()[:64]))
 
     pipelined = encode_batch > 1 and hasattr(model, "encode_chunks")
     shape = tuple(images.shape)
@@ -128,7 +138,7 @@ def main():
     chunks_per_sec = n_timed / elapsed
 
     result = {
-        "metric": "feature_aligned_inference_fps_chunk%d_ovl%d_%d" % (width, overlap, H),
+        "metric": "%s_aligned_inference_fps_chunk%d_ovl%d_%d" % (variant, width, overlap, H),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -30,6 +30,7 @@ TPU-first design choices:
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -165,6 +166,7 @@ class _AggPairScan(nn.Module):
     dtype: jnp.dtype
     remat: bool
     tap_layers: Sequence[int]
+    depth: int
     B: int
     S: int
 
@@ -197,11 +199,17 @@ class _AggPairScan(nn.Module):
         concat = jnp.concatenate([frame_out, x], axis=-1).reshape(
             B, S, T, 2 * self.dim
         )
+        # one dynamic-update-slice into a slot LUT (non-tap layers write the
+        # trailing garbage slot) — a per-tap where-chain would read+rewrite
+        # every tap slot on every layer, ~6x the HBM traffic of this write
         unique_taps = sorted(set(self.tap_layers))
-        for k, tl in enumerate(unique_taps):
-            taps = taps.at[k].set(
-                jnp.where(layer_idx == tl, concat, taps[k])
-            )
+        slot_lut = jnp.asarray(
+            [unique_taps.index(i) if i in unique_taps else len(unique_taps)
+             for i in range(self.depth)], jnp.int32,
+        )
+        taps = jax.lax.dynamic_update_slice_in_dim(
+            taps, concat[None], slot_lut[layer_idx], axis=0
+        )
         return (x, taps, cos_f, sin_f, cos_g, sin_g), None
 
 
@@ -265,24 +273,38 @@ class Aggregator(nn.Module):
         pos_frame = patch_grid_positions(B * S, gh, gw, self.patch_start_idx)
         pos_global = pos_frame.reshape(B, S * T, 2)
         # hoist RoPE trig out of the 24-layer scan: one cos/sin cache per
-        # attention flavor instead of recomputing angles in every block
+        # attention flavor instead of recomputing angles in every block —
+        # pre-tiled across heads to the full lane width (and in compute
+        # dtype), so the blocks' flat-layout RoPE does no per-layer tiling
         head_dim = self.embed_dim // self.num_heads
         from ..nn.rope import rope_cache_2d
 
+        def tiled(c):
+            return jnp.tile(c, (1, 1, self.num_heads)).astype(self.dtype)
+
         cos_f, sin_f, _ = rope_cache_2d(pos_frame, head_dim, self.rope_base)
         cos_g, sin_g, _ = rope_cache_2d(pos_global, head_dim, self.rope_base)
+        cos_f, sin_f = tiled(cos_f), tiled(sin_f)
+        cos_g, sin_g = tiled(cos_g), tiled(sin_g)
 
         unique_taps = sorted(set(self.intermediate_layers))
-        taps0 = jnp.zeros((len(unique_taps), B, S, T, 2 * self.embed_dim),
+        # +1 garbage slot: non-tap layers' concat lands there (slot LUT)
+        taps0 = jnp.zeros((len(unique_taps) + 1, B, S, T, 2 * self.embed_dim),
                           self.dtype)
+        # unroll=depth turns the scan's dynamic weight slices into static
+        # ones (profiling showed the stacked-weight dynamic-slice halves the
+        # fc2 matmul rate); params stay stacked, so checkpoints/converters
+        # are unaffected. Env-tunable while the compile-time cost is probed.
+        unroll = int(os.environ.get("VITSLAM_AGG_UNROLL", "1"))
         scan = nn.scan(
             _AggPairScan,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
+            unroll=self.depth if unroll >= self.depth else unroll,
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.qk_norm,
           self.init_values, self.rope_base, self.dtype, self.remat,
-          tuple(self.intermediate_layers), B, S, name="layers")
+          tuple(self.intermediate_layers), self.depth, B, S, name="layers")
         (x, taps, _, _, _, _), _ = scan(
             (x, taps0, cos_f, sin_f, cos_g, sin_g), jnp.arange(self.depth)
         )

@@ -54,6 +54,7 @@ class FeatureAlignedVGGT(nn.Module):
     enable_depth: bool = True
     enable_point: bool = True
     enable_track: bool = False
+    dpt_frames_chunk: int = 0
     num_memory_tokens: int = 8
     temporal_attention: bool = True
     align_embed_dim: int = 1024
@@ -74,6 +75,7 @@ class FeatureAlignedVGGT(nn.Module):
             intermediate_layers=tuple(self.intermediate_layers),
             enable_camera=self.enable_camera, enable_depth=self.enable_depth,
             enable_point=self.enable_point, enable_track=self.enable_track,
+            dpt_frames_chunk=self.dpt_frames_chunk,
             dtype=self.dtype, remat=self.remat,
         )
         self.alignment_head = AlignmentHead(

@@ -55,6 +55,7 @@ class PointAlignedVGGT(nn.Module):
     enable_depth: bool = False
     enable_point: bool = True
     enable_track: bool = False
+    dpt_frames_chunk: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
 
@@ -67,6 +68,7 @@ class PointAlignedVGGT(nn.Module):
             intermediate_layers=tuple(self.intermediate_layers),
             enable_camera=self.enable_camera, enable_depth=self.enable_depth,
             enable_point=self.enable_point, enable_track=self.enable_track,
+            dpt_frames_chunk=self.dpt_frames_chunk,
             dtype=self.dtype, remat=self.remat,
         )
 

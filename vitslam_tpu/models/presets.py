@@ -51,14 +51,17 @@ def small_feature_aligned(**overrides) -> FeatureAlignedVGGT:
 
 
 def flagship_point_aligned(**overrides) -> PointAlignedVGGT:
+    # production setting is chunk width 75 (reference README.md:130 /
+    # test_pointAlignedWrappedVGGT_vkitti.yaml): decode the DPT heads <=15
+    # frames at a time so full-res conv intermediates fit HBM
     kw = dict(FLAGSHIP)
-    kw.update(dict(enable_depth=False))
+    kw.update(dict(enable_depth=False, dpt_frames_chunk=16))
     kw.update(overrides)
     return PointAlignedVGGT(**kw)
 
 
 def flagship_pose_aligned(**overrides) -> PoseAlignedVGGT:
     kw = dict(FLAGSHIP)
-    kw.update(dict(enable_point=False))
+    kw.update(dict(enable_point=False, dpt_frames_chunk=16))
     kw.update(overrides)
     return PoseAlignedVGGT(**kw)

@@ -37,6 +37,11 @@ class VGGTCore(nn.Module):
     enable_track: bool = False
     dpt_features: int = 256
     dpt_out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    # decode DPT heads at most this many frames at a time (0 = all at once).
+    # The reference's VGGT runs its DPT with frames_chunk_size=8 for the same
+    # reason: at chunk width 75 the full-res conv intermediates for all
+    # frames at once (e.g. (75, 518, 518, 128)) would blow HBM.
+    dpt_frames_chunk: int = 0
     camera_trunk_depth: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
@@ -86,10 +91,27 @@ class VGGTCore(nn.Module):
         return self.camera_head(camera_tokens)
 
     def decode_depth(self, taps, images, patch_start_idx):
-        return self.depth_head(taps, images, patch_start_idx)
+        return self._decode_dpt(self.depth_head, taps, images, patch_start_idx)
 
     def decode_point(self, taps, images, patch_start_idx):
-        return self.point_head(taps, images, patch_start_idx)
+        return self._decode_dpt(self.point_head, taps, images, patch_start_idx)
+
+    def _decode_dpt(self, head, taps, images, patch_start_idx):
+        """Run a DPT head over at most ``dpt_frames_chunk`` frames at a time
+        (static Python unroll — each group's full-res intermediates die
+        before the next group's are live)."""
+        S = images.shape[1]
+        fc = self.dpt_frames_chunk
+        if not fc or S <= fc:
+            return head(taps, images, patch_start_idx)
+        fc = max(d for d in range(1, fc + 1) if S % d == 0)
+        outs = []
+        for s0 in range(0, S, fc):
+            sl = slice(s0, s0 + fc)
+            outs.append(head([t[:, sl] for t in taps], images[:, sl],
+                             patch_start_idx))
+        return (jnp.concatenate([o[0] for o in outs], axis=1),
+                jnp.concatenate([o[1] for o in outs], axis=1))
 
     def decode_track(self, taps, images, patch_start_idx, query_points):
         return self.track_head(taps, images, patch_start_idx, query_points)

@@ -14,11 +14,13 @@ fp32 before the kernel.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import scaled_dot_product_attention
 from .rope import apply_rope_1d, apply_rope_2d, apply_rope_cached
@@ -109,11 +111,59 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+class HeadLayerNorm(nn.Module):
+    """Per-head LayerNorm over ``head_dim``-sized feature groups.
+
+    Drop-in for ``nn.LayerNorm`` on the (B, H, N, dh) layout (same param
+    names/shapes, same eps/statistics), plus a ``flat=True`` mode that
+    normalizes the flat (B, N, H*dh) layout directly: group mean/E[x^2]
+    ride two tiny MXU matmuls against a constant pooling matrix and are
+    broadcast back the same way — no lane reduction and no (B, H, N, dh)
+    relayout, which is where the naive per-head path loses half its lanes
+    (head dim 64 on 128-lane registers)."""
+    num_heads: int
+    head_dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, flat: bool = False):
+        dh = self.head_dim
+        scale = self.param("scale", nn.initializers.ones, (dh,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dh,), jnp.float32)
+        if not flat:  # (..., dh): plain LayerNorm math over the last axis
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - mean**2
+            y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+            return (y * scale + bias).astype(self.dtype)
+        h = self.num_heads
+        C = h * dh
+        pool = jnp.asarray(np.kron(np.eye(h), np.ones((dh, 1)) / dh),
+                           jnp.float32)  # (C, h): per-head mean
+        spread = jnp.asarray(np.kron(np.eye(h), np.ones((1, dh))),
+                             jnp.float32)  # (h, C): broadcast back
+        xf = x.astype(jnp.float32)
+        mean_h = xf @ pool                       # (B, N, h)
+        m2_h = jnp.square(xf) @ pool
+        inv_h = jax.lax.rsqrt(m2_h - jnp.square(mean_h) + self.eps)
+        mean_l = mean_h @ spread                 # (B, N, C)
+        inv_l = inv_h @ spread
+        y = (xf - mean_l) * inv_l
+        return (y * jnp.tile(scale, h) + jnp.tile(bias, h)).astype(self.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with optional per-head qk LayerNorm and RoPE.
 
     rope: None | '1d' | '2d' — positions passed at call time.
-    """
+
+    When qk-norm is on and a precomputed RoPE cache is supplied (the scanned
+    aggregator's hot path), the q/k prep runs in the flat (B, N, C) layout:
+    grouped LayerNorm + lane-permutation RoPE (see HeadLayerNorm /
+    rope.apply_rope_flat), with a single relayout into the kernel's
+    (B, H, N, dh) — instead of LN/RoPE elementwise chains over half-empty
+    64-lane registers."""
     dim: int
     num_heads: int = 8
     qkv_bias: bool = True
@@ -130,21 +180,35 @@ class Attention(nn.Module):
         dh = self.dim // h
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
                        dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, h, dh)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, h, dh)
-        q = jnp.swapaxes(q, 1, 2)  # (B, h, N, dh)
-        k = jnp.swapaxes(k, 1, 2)
-        v = jnp.swapaxes(v, 1, 2)
         static_max = None
-        if self.qk_norm:
-            qn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="q_norm")
-            kn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="k_norm")
-            q = qn(q)
-            k = kn(k)
-            # qk-norm bounds the logits -> the flash kernel can use a fixed
-            # softmax shift and skip online max tracking
+        fast = self.qk_norm and _is_rope_cache(pos)
+        if fast:
+            from .rope import apply_rope_flat
+
+            qn = HeadLayerNorm(h, dh, dtype=self.dtype, name="q_norm")
+            kn = HeadLayerNorm(h, dh, dtype=self.dtype, name="k_norm")
+            cos, sin, nsplit = pos
+            qf = apply_rope_flat(qn(qkv[..., :C], flat=True), cos, sin, h, nsplit)
+            kf = apply_rope_flat(kn(qkv[..., C:2 * C], flat=True), cos, sin, h, nsplit)
+            q = qf.reshape(B, N, h, dh).swapaxes(1, 2)
+            k = kf.reshape(B, N, h, dh).swapaxes(1, 2)
+            v = qkv[..., 2 * C:].reshape(B, N, h, dh).swapaxes(1, 2)
             static_max = _qk_shift(qn, kn, dh)
-        q, k = _apply_rope(q, k, pos, pos, self.rope, self.rope_base)
+        else:
+            qkv = qkv.reshape(B, N, 3, h, dh)
+            q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, h, dh)
+            q = jnp.swapaxes(q, 1, 2)  # (B, h, N, dh)
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            if self.qk_norm:
+                qn = HeadLayerNorm(h, dh, dtype=self.dtype, name="q_norm")
+                kn = HeadLayerNorm(h, dh, dtype=self.dtype, name="k_norm")
+                q = qn(q)
+                k = kn(k)
+                # qk-norm bounds the logits -> the flash kernel can use a
+                # fixed softmax shift and skip online max tracking
+                static_max = _qk_shift(qn, kn, dh)
+            q, k = _apply_rope(q, k, pos, pos, self.rope, self.rope_base)
         out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=self.proj_bias,

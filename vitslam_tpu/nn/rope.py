@@ -116,6 +116,48 @@ def apply_rope_cached(tokens: jax.Array, cache) -> jax.Array:
     return out.astype(tokens.dtype)
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def rope_rotation_matrix(head_dim: int, nsplit: int, num_heads: int) -> np.ndarray:
+    """(C, C) constant +-1 permutation matrix P such that ``x @ P`` equals
+    per-head ``_rotate_half_multi`` in the flat (..., num_heads*head_dim)
+    layout. Lane permutations are gathers on the VPU; as a matmul they ride
+    the MXU instead, keeping the fused qk-norm+RoPE path free of relayouts
+    (the whole point of the flat-layout attention prep)."""
+    dh, h = head_dim, num_heads
+    s = dh // nsplit
+    half = s // 2
+    C = h * dh
+    P = np.zeros((C, C), np.float32)
+    for j in range(h):
+        for b in range(nsplit):
+            base = j * dh + b * s
+            for t in range(half):
+                # out[base+t] = -x[base+half+t];  out[base+half+t] = x[base+t]
+                P[base + half + t, base + t] = -1.0
+                P[base + t, base + half + t] = 1.0
+    return P
+
+
+def apply_rope_flat(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                    num_heads: int, nsplit: int) -> jax.Array:
+    """RoPE in the flat (B, N, num_heads*head_dim) layout: every head uses
+    the same (B, N, head_dim) cos/sin (tiled across lanes), and the
+    half-rotation is the constant lane-permutation matmul above. Numerics
+    are identical to apply_rope_cached on the (B, H, N, D) layout."""
+    B, N, C = x.shape
+    dh = C // num_heads
+    if cos.shape[-1] == dh:  # un-tiled cache
+        cos = jnp.tile(cos, (1, 1, num_heads))
+        sin = jnp.tile(sin, (1, 1, num_heads))
+    P = jnp.asarray(rope_rotation_matrix(dh, nsplit, num_heads), x.dtype)
+    return x * cos.astype(x.dtype) + (x @ P) * sin.astype(x.dtype)
+
+
 def patch_grid_positions(batch: int, grid_h: int, grid_w: int, num_special: int) -> jax.Array:
     """(B, num_special + grid_h*grid_w, 2) integer positions: special tokens
     at (0, 0), patch tokens on the (row+1, col+1) grid.
