@@ -2,9 +2,13 @@
 the real TPU chip.
 
 Measures steady-state frames/sec of the chunk-and-align pipeline at the
-reference's inference setting (chunk width 5, overlap 1, 518x518 — README
-"up to 19 FPS" on a ~12GB GPU; BASELINE.md). Counts *new* frames per chunk
-(width - overlap) since overlapping frames are recomputed by design.
+reference's inference setting: chunk width 5, overlap 1, img_size 518 at
+fix_aspect_ratio 0.3 -> 518x154 frames (every reference test config pins
+aspect 0.3 ~= VKITTI's native 375/1242 —
+test_featureAlignedVGGT_vkitti.yaml:6,28; README "up to 19 FPS" on a ~12GB
+GPU; BASELINE.md). Counts *new* frames per chunk (width - overlap) since
+overlapping frames are recomputed by design. BENCH_ASPECT=1.0 benches the
+square 518x518 shape instead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -20,7 +24,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_FPS = 19.0  # reference README.md:130 (feature-aligned, ~12GB GPU)
+# reference README.md:130: feature-aligned 19 FPS (~12GB GPU);
+# point/pose-aligned 15 FPS (24GB GPU, chunk 75/overlap 30)
+BASELINE_FPS = {"feature": 19.0, "point": 15.0, "pose": 15.0}
 
 
 def main():
@@ -46,21 +52,24 @@ def main():
     overlap = int(os.environ.get("BENCH_OVERLAP", 1))
     n_timed = int(os.environ.get("BENCH_CHUNKS", 24))
 
+    aspect = float(os.environ.get("BENCH_ASPECT", 0.3))
     if small:
         from vitslam_tpu.models.presets import small_feature_aligned
         model = small_feature_aligned()
-        H = W = 224
+        W = 224
     elif variant == "point":
         from vitslam_tpu.models.presets import flagship_point_aligned
         model = flagship_point_aligned()
-        H = W = 518
+        W = 518
     elif variant == "pose":
         from vitslam_tpu.models.presets import flagship_pose_aligned
         model = flagship_pose_aligned()
-        H = W = 518
+        W = 518
     else:
         model = flagship()
-        H = W = 518
+        W = 518
+    from vitslam_tpu.data.preprocess import get_target_shape
+    H = int(get_target_shape(aspect, W, 14)[0])
 
     encode_batch = int(os.environ.get("BENCH_ENCODE_BATCH", 8))
     rng = jax.random.PRNGKey(0)
@@ -138,10 +147,10 @@ def main():
     chunks_per_sec = n_timed / elapsed
 
     result = {
-        "metric": "%s_aligned_inference_fps_chunk%d_ovl%d_%d" % (variant, width, overlap, H),
+        "metric": "%s_aligned_inference_fps_chunk%d_ovl%d_%dx%d" % (variant, width, overlap, W, H),
         "value": round(fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / BASELINE_FPS.get(variant, 19.0), 3),
     }
     print(json.dumps(result))
     print(

@@ -139,7 +139,7 @@ class TestRunModelIntegration:
 
         common = {
             "_target_": "vitslam_tpu.data.base.CommonConfig",
-            "img_size": 28, "patch_size": 14, "fix_aspect_ratio": 1.5,
+            "img_size": 28, "patch_size": 14, "fix_aspect_ratio": 0.7,
             "training": True, "inside_random": True,
             "chunk_subsampling": [1, 1],
         }

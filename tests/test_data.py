@@ -114,7 +114,7 @@ class TestVKitti:
         assert ds.sequence_list_len == 1
         assert ds.seq_frame_num[0] == 10
         assert ds.get_seq_name(0) == "Scene01_clone"
-        batch = ds.get_data(seq_index=0, img_per_seq=4, aspect_ratio=1.5)
+        batch = ds.get_data(seq_index=0, img_per_seq=4, aspect_ratio=0.7)
         assert batch["images"].shape[0] == 4
         assert batch["images"].shape[1] == 3
         assert batch["extrinsics"].shape == (4, 3, 4)
@@ -135,7 +135,7 @@ class TestKITTIOdometry:
         ds = KITTIOdometryDataset(CC, split="train", KITTIOD_DIR=kitti_root,
                                   sequence_ids=["00"])
         assert ds.sequence_list_len == 1
-        batch = ds.get_data(seq_index=0, ids=[0, 1, 2, 3], aspect_ratio=1.5)
+        batch = ds.get_data(seq_index=0, ids=[0, 1, 2, 3], aspect_ratio=0.7)
         assert batch["images"].shape[0] == 4
         # ones depth placeholder (0 only in aspect-padding rows)
         assert set(np.unique(batch["depths"])) <= {0.0, 1.0}
@@ -180,7 +180,7 @@ class TestWaymo:
                           cameras=["cam_01"])
         assert ds.sequence_list_len == 1
         assert ds.seq_frame_num[0] == 6
-        batch = ds.get_data(seq_index=0, ids=[0, 2, 4], aspect_ratio=1.5)
+        batch = ds.get_data(seq_index=0, ids=[0, 2, 4], aspect_ratio=0.7)
         assert batch["images"].shape[0] == 3
         assert batch["depths"].shape == batch["point_masks"].shape
         # lidar splat produced some valid depth

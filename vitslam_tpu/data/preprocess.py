@@ -61,8 +61,13 @@ def round_to_multiple(x: float, m: int) -> int:
 def get_target_shape(aspect_ratio: float, img_size: int = 518,
                      patch_size: int = 14) -> np.ndarray:
     """Target (H, W): width pinned to img_size, height from the aspect
-    ratio rounded to a patch multiple (aspect = W / H)."""
-    h = round_to_multiple(img_size / max(aspect_ratio, 1e-6), patch_size)
+    ratio rounded to a patch multiple.
+
+    Convention: aspect = H / W (VGGT's landscape convention — its training
+    aspects span ~0.33..1.0 and every reference test config pins
+    ``fix_aspect_ratio: 0.3`` ~= VKITTI's native 375/1242, i.e. 518x154 —
+    test_featureAlignedVGGT_vkitti.yaml:28)."""
+    h = round_to_multiple(img_size * aspect_ratio, patch_size)
     return np.array([h, img_size], dtype=np.int64)
 
 

@@ -68,6 +68,28 @@ def _is_rope_cache(pos) -> bool:
     return isinstance(pos, tuple) and len(pos) == 3 and isinstance(pos[2], int)
 
 
+# below this many tokens XLA's fused small attention beats a kernel launch
+_FUSED_MIN_TOKENS = 512
+
+
+def _fused_attention_enabled() -> bool:
+    env = os.environ.get("VITSLAM_FUSED_ATTN", "auto")
+    if env in ("0", "xla"):
+        return False
+    if env == "1":
+        return True
+    from ..ops.attention import _on_tpu
+
+    return _on_tpu()
+
+
+def _qk_shift_from(qp, kp, dh: int):
+    """_qk_shift from raw (scale, bias) param pairs (fused path)."""
+    bound = qk_logit_bound({"scale": qp[0], "bias": qp[1]},
+                           {"scale": kp[0], "bias": kp[1]}, dh)
+    return jax.lax.stop_gradient(jnp.maximum(_QK_STATIC_MAX, bound))
+
+
 def _apply_rope(q, k, pos_q, pos_k, mode: Optional[str], base: float):
     """Apply RoPE to q/k. ``pos`` may be integer position arrays (angles
     computed inline) or a precomputed (cos, sin, nsplit) cache from
@@ -126,11 +148,18 @@ class HeadLayerNorm(nn.Module):
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # setup-style params so the fused-attention path can read them
+        # (nn/ops fused_qkv_attention applies the LN in-kernel) without a
+        # data pass; names/shapes identical to nn.LayerNorm's
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.head_dim,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.head_dim,), jnp.float32)
+
     def __call__(self, x, flat: bool = False):
         dh = self.head_dim
-        scale = self.param("scale", nn.initializers.ones, (dh,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (dh,), jnp.float32)
+        scale, bias = self.scale, self.bias
         if not flat:  # (..., dh): plain LayerNorm math over the last axis
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -182,6 +211,28 @@ class Attention(nn.Module):
                        dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         static_max = None
         fast = self.qk_norm and _is_rope_cache(pos)
+        # fully-fused path: qkv-packed Pallas kernel (per-head LN + RoPE +
+        # attention in one kernel, no relayouts). Taken on TPU when the
+        # RoPE cache form is available (or neither LN nor RoPE is needed).
+        fusable = fast or (not self.qk_norm and self.rope is None
+                           and pos is None)
+        if (fusable and _fused_attention_enabled()
+                and N >= _FUSED_MIN_TOKENS):
+            from ..ops.fused_attention import fused_qkv_attention
+
+            kwargs = dict(num_heads=h)
+            if fast:
+                qn = HeadLayerNorm(h, dh, dtype=self.dtype, name="q_norm")
+                kn = HeadLayerNorm(h, dh, dtype=self.dtype, name="k_norm")
+                qp, kp = (qn.scale, qn.bias), (kn.scale, kn.bias)
+                cos, sin, nsplit = pos
+                kwargs.update(cos=cos, sin=sin, q_ln=qp, k_ln=kp,
+                              nsplit=nsplit,
+                              static_max=_qk_shift_from(qp, kp, dh))
+            out = fused_qkv_attention(qkv, **kwargs)
+            return nn.Dense(self.dim, use_bias=self.proj_bias,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="proj")(out)
         if fast:
             from .rope import apply_rope_flat
 

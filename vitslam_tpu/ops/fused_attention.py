@@ -1,0 +1,338 @@
+"""Fused qkv-packed flash attention: per-head LayerNorm + RoPE + softmax +
+PV in ONE Pallas kernel, consuming the qkv projection's packed output
+directly and writing the attention output back in the flat (B, N, C)
+layout.
+
+Why (v5e xplane profile of the aggregator scan): the separate-prep path
+spends more time on q/k/v relayouts ((B, N, H, dh) transposes cost
+0.5-0.9 ms each at (10, 1374, 64)) and on the LN/RoPE elementwise fusions
+than on the attention math itself. Here the kernel's BlockSpecs slice each
+head's 64-lane group straight out of the (B, N, 3C) qkv array (grid axis 0
+enumerates batch x head; lane-block index = head), so NO transpose ever
+materializes, and the q/k prep runs on tiles already in VMEM:
+
+  * per-head LayerNorm over the dh lanes (fp32 mean/E[x^2], flax eps);
+  * RoPE via a constant (dh, dh) +-1 rotation matrix on the MXU
+    (out = x*cos + (x @ P)*sin — rope.rope_rotation_matrix);
+  * bounded-logit exp2 softmax with the caller's static shift (qk-norm
+    bounds the logits — nn/layers.py::_qk_shift), or online max when
+    unbounded; the denominator rides an MXU matvec against a ones vector;
+  * the K-pad tail is masked (padded rows pass through LN as the bias
+    vector, so their mass is NOT provably zero here, unlike the unfused
+    MXU-sum trick).
+
+Backward: custom VJP recomputes the same math with plain XLA (exact; the
+backbone that uses this path is frozen in every reference config, so the
+backward is traced but dead in training).
+
+Reference parity: numerics equal HeadLayerNorm + apply_rope_flat +
+flash_attention to fp tolerance (tests/test_fused_attention.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_attention import (
+    _LOG2E,
+    NEG_INF,
+    _round_up,
+    _row_max,
+    _single_k_blocks,
+)
+
+_LN_EPS = 1e-6
+
+
+def _prep_tile(raw, cos_ref, sin_ref, rot_ref, s_ref, b_ref, do_ln, do_rope):
+    """LayerNorm + RoPE on a (block, dh) tile, fp32 in, bf16-ish out."""
+    x = raw.astype(jnp.float32)
+    if do_ln:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+        x = (x - mean) * jax.lax.rsqrt(var + _LN_EPS)
+        x = x * s_ref[0] + b_ref[0]
+    if do_rope:
+        cos = cos_ref[0].astype(jnp.float32)
+        sin = sin_ref[0].astype(jnp.float32)
+        rot = jax.lax.dot_general(
+            x, rot_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x = x * cos + rot * sin
+    return x
+
+
+def _fused_kernel(
+    smax_ref, q_ref, k_ref, v_ref, *refs,
+    kv_len: int, block_k: int, needs_mask: bool, bounded: bool,
+    single_k: bool, do_ln: bool, do_rope: bool, qscale: float,
+):
+    """One (batch*head, q_block, k_block) grid step.
+
+    refs layout: [cos_q, sin_q, cos_k, sin_k]? (if do_rope)
+                 [q_scale, q_bias, k_scale, k_bias]? (if do_ln)
+                 [rot]? (if do_rope)
+                 o_ref, m_scratch, l_scratch, acc_scratch."""
+    i = 0
+    if do_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref = refs[i:i + 4]
+        i += 4
+    else:
+        cosq_ref = sinq_ref = cosk_ref = sink_ref = None
+    if do_ln:
+        qs_ref, qb_ref, ks_ref, kb_ref = refs[i:i + 4]
+        i += 4
+    else:
+        qs_ref = qb_ref = ks_ref = kb_ref = None
+    if do_rope:
+        rot_ref = refs[i]
+        i += 1
+    else:
+        rot_ref = None
+    o_ref, m_scratch, l_scratch, acc_scratch = refs[i:i + 4]
+
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    q = _prep_tile(q_ref[0], cosq_ref, sinq_ref, rot_ref, qs_ref, qb_ref,
+                   do_ln, do_rope) * qscale
+    k = _prep_tile(k_ref[0], cosk_ref, sink_ref, rot_ref, ks_ref, kb_ref,
+                   do_ln, do_rope)
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (block_q, block_k) log2-domain logits
+    if needs_mask:
+        # padded K rows come out of LN as the bias vector -> real mass;
+        # mask is required for correctness here (cf. the unfused MXU-sum
+        # trick where padded mass is provably zero)
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    v = v_ref[0]
+    ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
+
+    if single_k:
+        shift = smax_ref[0] if bounded else _row_max(s)
+        p = jnp.exp2(s - shift).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p, jnp.concatenate([v, ones], axis=1),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        l = pv[:, -1:]
+        o_ref[0] = (pv[:, :-1] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    if bounded:
+        p = jnp.exp2(s - smax_ref[0]).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p, jnp.concatenate([v, ones], axis=1),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        l_scratch[:] = l_scratch[:] + pv[:, -1:]
+        acc_scratch[:] = acc_scratch[:] + pv[:, :-1]
+    else:
+        m_prev = m_scratch[:]
+        m_next = jnp.maximum(m_prev, _row_max(s))
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next).astype(jnp.bfloat16)
+        m_scratch[:] = m_next
+        pv = jax.lax.dot_general(
+            p, jnp.concatenate([v, ones], axis=1),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        l_scratch[:] = alpha * l_scratch[:] + pv[:, -1:]
+        acc_scratch[:] = acc_scratch[:] * alpha + pv[:, :-1]
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[:] /
+                    jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
+                   scale, nsplit, do_ln, do_rope, bounded):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    dh = C // h
+    single = _single_k_blocks(N, N, dh, dh + 1)
+    if single is not None:
+        block_q, block_k = single
+        while block_k % block_q:  # q blocks must tile the single K tile
+            block_q -= 128
+    else:
+        block_q, block_k = 512, 1024
+    n_pad = _round_up(N, max(block_q, block_k))
+    if n_pad != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+        if do_rope:
+            cos = jnp.pad(cos, ((0, 0), (0, n_pad - N), (0, 0)))
+            sin = jnp.pad(sin, ((0, 0), (0, n_pad - N), (0, 0)))
+
+    grid = (B * h, n_pad // block_q, n_pad // block_k)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, b % h)),
+        pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, h + b % h)),
+        pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, 2 * h + b % h)),
+    ]
+    args = [smax, qkv, qkv, qkv]
+    if do_rope:
+        # cos/sin are pre-tiled (B, N, C) or per-head (B, N, dh); either
+        # way lane-block 0 holds the per-head values (identical per head)
+        in_specs += [
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, 0)),
+        ]
+        args += [cos, sin, cos, sin]
+    if do_ln:
+        in_specs += [pl.BlockSpec((1, dh), lambda b, i, j: (0, 0))] * 4
+        args += [qs.reshape(1, dh), qb.reshape(1, dh),
+                 ks.reshape(1, dh), kb_.reshape(1, dh)]
+    if do_rope:
+        from ..nn.rope import rope_rotation_matrix
+
+        rot = jnp.asarray(rope_rotation_matrix(dh, nsplit, 1), jnp.bfloat16)
+        in_specs += [pl.BlockSpec((dh, dh), lambda b, i, j: (0, 0))]
+        args += [rot]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, kv_len=N, block_k=block_k,
+            needs_mask=(n_pad != N), bounded=bounded,
+            single_k=(n_pad // block_k == 1), do_ln=do_ln, do_rope=do_rope,
+            qscale=scale * _LOG2E,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, dh),
+                               lambda b, i, j: (b // h, i, b % h)),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*args)
+    return out[:, :N]
+
+
+def _fused_reference(qkv, cos, sin, qs, qb, ks, kb_, *, num_heads, scale,
+                     nsplit, do_ln, do_rope):
+    """Plain-XLA reference of the fused kernel's math (VJP recompute path +
+    CPU fallback): flat-layout LN + RoPE, standard softmax attention."""
+    from ..nn.rope import apply_rope_flat
+
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    dh = C // h
+
+    def prep(x, s_, b_, cos_, sin_):
+        xf = x.astype(jnp.float32).reshape(B, N, h, dh)
+        if do_ln:
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+            xf = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+            xf = xf * s_ + b_
+        xf = xf.reshape(B, N, C)
+        if do_rope:
+            xf = apply_rope_flat(xf, cos_.astype(jnp.float32),
+                                 sin_.astype(jnp.float32), h, nsplit)
+        return xf.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+
+    q = prep(qkv[..., :C], qs, qb, cos, sin)
+    k = prep(qkv[..., C:2 * C], ks, kb_, cos, sin)
+    v = qkv[..., 2 * C:].reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.bfloat16),
+                   k.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _fused(qkv, cos, sin, qs, qb, ks, kb_, smax, num_heads, scale, nsplit,
+           do_ln, do_rope, bounded):
+    return _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax,
+                          num_heads=num_heads, scale=scale, nsplit=nsplit,
+                          do_ln=do_ln, do_rope=do_rope, bounded=bounded)
+
+
+def _fused_fwd(qkv, cos, sin, qs, qb, ks, kb_, smax, num_heads, scale,
+               nsplit, do_ln, do_rope, bounded):
+    out = _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax,
+                         num_heads=num_heads, scale=scale, nsplit=nsplit,
+                         do_ln=do_ln, do_rope=do_rope, bounded=bounded)
+    return out, (qkv, cos, sin, qs, qb, ks, kb_)
+
+
+def _fused_bwd(num_heads, scale, nsplit, do_ln, do_rope, bounded, res, g):
+    qkv, cos, sin, qs, qb, ks, kb_ = res
+    f = lambda *a: _fused_reference(*a, num_heads=num_heads, scale=scale,
+                                    nsplit=nsplit, do_ln=do_ln,
+                                    do_rope=do_rope)
+    out, vjp = jax.vjp(f, qkv, cos, sin, qs, qb, ks, kb_)
+    grads = vjp(g.astype(out.dtype))
+    return grads + (jnp.zeros((1,), jnp.float32),)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_qkv_attention(
+    qkv: jax.Array,
+    *,
+    num_heads: int,
+    cos: jax.Array | None = None,
+    sin: jax.Array | None = None,
+    q_ln: tuple[jax.Array, jax.Array] | None = None,
+    k_ln: tuple[jax.Array, jax.Array] | None = None,
+    scale: float | None = None,
+    static_max: float | jax.Array | None = None,
+    nsplit: int = 2,
+) -> jax.Array:
+    """Self-attention straight from the packed qkv projection.
+
+    qkv: (B, N, 3C) laid out [q | k | v]; cos/sin: per-head RoPE tables
+    (B, N, dh) or head-tiled (B, N, C); q_ln/k_ln: per-head LayerNorm
+    (scale, bias) each (dh,). Returns (B, N, C) in flat layout.
+    """
+    C = qkv.shape[-1] // 3
+    dh = C // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    do_rope = cos is not None
+    do_ln = q_ln is not None
+    bounded = static_max is not None
+    zero_dh = jnp.zeros((dh,), jnp.float32)
+    qs, qb = (q_ln if do_ln else (zero_dh, zero_dh))
+    ks, kb_ = (k_ln if do_ln else (zero_dh, zero_dh))
+    if not do_rope:
+        cos = sin = jnp.zeros((qkv.shape[0], qkv.shape[1], dh), jnp.float32)
+    smax = jnp.asarray(static_max if bounded else 0.0, jnp.float32)
+    smax = jax.lax.stop_gradient(smax.reshape(1) * jnp.float32(_LOG2E))
+    return _fused(qkv, cos, sin,
+                  jnp.asarray(qs, jnp.float32), jnp.asarray(qb, jnp.float32),
+                  jnp.asarray(ks, jnp.float32), jnp.asarray(kb_, jnp.float32),
+                  smax, num_heads, float(scale), nsplit, do_ln, do_rope,
+                  bounded)
