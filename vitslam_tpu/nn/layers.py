@@ -73,14 +73,12 @@ _FUSED_MIN_TOKENS = 512
 
 
 def _fused_attention_enabled() -> bool:
-    env = os.environ.get("VITSLAM_FUSED_ATTN", "auto")
-    if env in ("0", "xla"):
-        return False
-    if env == "1":
-        return True
-    from ..ops.attention import _on_tpu
-
-    return _on_tpu()
+    # default OFF: the 64-lane-per-head BlockSpec slicing lowers in the
+    # pallas interpreter but is rejected by the real Mosaic TPU lowering
+    # ("last two block dims must be divisible by (8, 128) or equal the
+    # array dims") — the kernel needs a (B, 3H, N, dh)-layout rework before
+    # it can be the TPU default. Opt in with VITSLAM_FUSED_ATTN=1.
+    return os.environ.get("VITSLAM_FUSED_ATTN", "0") == "1"
 
 
 def _qk_shift_from(qp, kp, dh: int):

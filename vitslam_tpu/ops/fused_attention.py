@@ -101,9 +101,9 @@ def _fused_kernel(
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
-    q = _prep_tile(q_ref[0], cosq_ref, sinq_ref, rot_ref, qs_ref, qb_ref,
+    q = _prep_tile(q_ref[0, 0], cosq_ref, sinq_ref, rot_ref, qs_ref, qb_ref,
                    do_ln, do_rope) * qscale
-    k = _prep_tile(k_ref[0], cosk_ref, sink_ref, rot_ref, ks_ref, kb_ref,
+    k = _prep_tile(k_ref[0, 0], cosk_ref, sink_ref, rot_ref, ks_ref, kb_ref,
                    do_ln, do_rope)
     s = jax.lax.dot_general(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
@@ -116,7 +116,7 @@ def _fused_kernel(
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    v = v_ref[0]
+    v = v_ref[0, 0]
     ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
 
     if single_k:
@@ -127,7 +127,7 @@ def _fused_kernel(
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         l = pv[:, -1:]
-        o_ref[0] = (pv[:, :-1] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[0, 0] = (pv[:, :-1] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         return
 
     @pl.when(kb == 0)
@@ -159,8 +159,8 @@ def _fused_kernel(
 
     @pl.when(kb == nkb - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] /
-                    jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scratch[:] /
+                       jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
 
 
 def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
@@ -182,18 +182,23 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
         if do_rope:
             cos = jnp.pad(cos, ((0, 0), (0, n_pad - N), (0, 0)))
             sin = jnp.pad(sin, ((0, 0), (0, n_pad - N), (0, 0)))
+    # Mosaic requires lane-dim blocks of 128 — or the FULL array dim, which
+    # a dh-lane head slice only satisfies in a (B, 3H, N, dh) layout. This
+    # one packed relayout (plus the output's inverse) replaces the unfused
+    # path's separate q/k/v/out transposes.
+    qkv3 = qkv.reshape(B, n_pad, 3 * h, dh).transpose(0, 2, 1, 3)
 
     grid = (B * h, n_pad // block_q, n_pad // block_k)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, b % h)),
-        pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, h + b % h)),
-        pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, 2 * h + b % h)),
+        pl.BlockSpec((1, 1, block_q, dh), lambda b, i, j: (b // h, b % h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, dh),
+                     lambda b, i, j: (b // h, h + b % h, j, 0)),
+        pl.BlockSpec((1, 1, block_k, dh),
+                     lambda b, i, j: (b // h, 2 * h + b % h, j, 0)),
     ]
-    args = [smax, qkv, qkv, qkv]
+    args = [smax, qkv3, qkv3, qkv3]
     if do_rope:
-        # cos/sin are pre-tiled (B, N, C) or per-head (B, N, dh); either
-        # way lane-block 0 holds the per-head values (identical per head)
         in_specs += [
             pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, 0)),
             pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, 0)),
@@ -221,9 +226,9 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, dh),
-                               lambda b, i, j: (b // h, i, b % h)),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), qkv.dtype),
+        out_specs=pl.BlockSpec((1, 1, block_q, dh),
+                               lambda b, i, j: (b // h, b % h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, h, n_pad, dh), qkv.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -233,7 +238,7 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(*args)
-    return out[:, :N]
+    return out.transpose(0, 2, 1, 3).reshape(B, n_pad, C)[:, :N]
 
 
 def _fused_reference(qkv, cos, sin, qs, qb, ks, kb_, *, num_heads, scale,
@@ -323,6 +328,11 @@ def fused_qkv_attention(
         scale = 1.0 / math.sqrt(dh)
     do_rope = cos is not None
     do_ln = q_ln is not None
+    if do_rope and cos.shape[-1] != dh:
+        # head-tiled (B, N, C) caches: every head's values are identical,
+        # and Mosaic needs the lane block to equal the array dim -> slice
+        cos = cos[..., :dh]
+        sin = sin[..., :dh]
     bounded = static_max is not None
     zero_dh = jnp.zeros((dh,), jnp.float32)
     qs, qb = (q_ln if do_ln else (zero_dh, zero_dh))
