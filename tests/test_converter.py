@@ -312,3 +312,57 @@ def test_conv_matches_torch_strided_conv():
     got = mod.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# golden outputs of a converted model (VERDICT #4: "golden outputs of the
+# converted model on a fixed input")
+# ---------------------------------------------------------------------------
+
+# (mean, std, middle element) of each VGGTCore output after importing a
+# deterministic real-layout state dict — regenerate with the recipe in the
+# test if conversion semantics intentionally change.
+GOLDEN_CORE_OUTPUTS = {
+    "depth": (9.592359e+01, 1.069130e+02, 7.834963e+00),
+    "depth_conf": (8.194043e+00, 1.020224e+01, 1.673589e+00),
+    "pose_enc_list": (1.895914e-02, 2.118003e-01, -3.555460e-01),
+    "world_points": (3.866866e+01, 1.990315e+02, 1.125484e+01),
+    "world_points_conf": (1.983376e+01, 7.435326e+01, 1.274500e+00),
+}
+
+
+def test_converted_model_golden_outputs():
+    """End-to-end conversion determinism: a synthetic state dict with REAL
+    VGGT-1B naming and layouts (values seeded per key name), pushed through
+    translate_key/transform_value/import_torch_style, must reproduce the
+    recorded forward outputs — so neither the key rules, the layout
+    transforms, nor the model's numerics can drift silently."""
+    import hashlib
+
+    model, _, params, vggt_sd, _ = _tiny_model_and_sd()
+
+    def val_for(key, shape):
+        seed = int.from_bytes(hashlib.sha256(key.encode()).digest()[:4],
+                              "little")
+        return (np.random.default_rng(seed).normal(0, 0.05, size=shape)
+                .astype(np.float32))
+
+    sd = {k: val_for(k, np.asarray(v).shape) for k, v in vggt_sd.items()
+          if not k.startswith("alignment_head.")}
+    mapped = {translate_key(k): transform_value(k, v) for k, v in sd.items()
+              if translate_key(k) is not None}
+    restored, missing = import_torch_style(mapped, params, strict=False)
+    assert all(m.startswith("params.alignment_head.") for m in missing)
+
+    x = (jnp.arange(1 * 2 * 3 * 28 * 42, dtype=jnp.float32)
+         .reshape(1, 2, 3, 28, 42) % 97) / 97.0
+    out = model.apply(restored, x, method=lambda m, x: m.core(x))
+    for k, (mean, std, mid) in GOLDEN_CORE_OUTPUTS.items():
+        v = out[k]
+        if isinstance(v, list):
+            v = v[-1]
+        v = np.asarray(v, np.float64)
+        np.testing.assert_allclose(
+            [v.mean(), v.std(), float(v.ravel()[v.size // 2])],
+            [mean, std, mid], rtol=2e-3,
+            err_msg=f"converted-model output {k} drifted")
