@@ -93,8 +93,9 @@ class TestDPTHead:
 class TestTrackHead:
     def test_tracks(self, agg_out):
         _, taps, psi, imgs = agg_out
-        head = TrackHead(dim_in=DIM_IN, patch_size=PS, feature_dim=16,
-                         iters=2, dtype=jnp.float32)
+        head = TrackHead(dim_in=DIM_IN, patch_size=PS, features=16,
+                         iters=2, corr_levels=2, hidden_size=64,
+                         updater_depth=1, dtype=jnp.float32)
         q = jnp.asarray([[[10.0, 12.0], [20.0, 5.0]]])
         params = head.init(jax.random.PRNGKey(0), taps, imgs, psi, q)
         tracks, vis, conf = head.apply(params, taps, imgs, psi, q)

@@ -137,6 +137,10 @@ class DPTHead(nn.Module):
     conf_activation: str = "expp1"
     patch_size: int = 14
     pos_embed: bool = True
+    # feature_only: return the fused feature map (no decode heads) at
+    # 1/down_ratio resolution — VGGT's TrackHead feature-extractor mode
+    feature_only: bool = False
+    down_ratio: int = 1
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -145,7 +149,7 @@ class DPTHead(nn.Module):
         token_list: Sequence[jax.Array],
         images: jax.Array,
         patch_start_idx: int,
-    ) -> tuple[jax.Array, jax.Array]:
+    ) -> tuple[jax.Array, jax.Array] | jax.Array:
         """Decode tapped aggregator layers to dense maps.
 
         Args:
@@ -153,7 +157,8 @@ class DPTHead(nn.Module):
             images: (B, S, 3, H, W) — for output resolution only.
             patch_start_idx: first patch-token index.
         Returns:
-            (map (B, S, H, W, output_dim-1), conf (B, S, H, W)).
+            (map (B, S, H, W, output_dim-1), conf (B, S, H, W)); in
+            feature_only mode a single (B, S, H/dr, W/dr, features) map.
         """
         B, S, _, H, W = images.shape
         gh, gw = H // self.patch_size, W // self.patch_size
@@ -197,6 +202,13 @@ class DPTHead(nn.Module):
         )
         # last fusion upsamples 2x (VGGT refinenet1 default scale_factor=2)
         y = FeatureFusionBlock(self.features, self.dtype, name="fusion_0")(y, skip=f0)
+
+        if self.feature_only:
+            y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="head_conv1")(y)
+            y = _resize(y, H // self.down_ratio, W // self.down_ratio)
+            return y.reshape(B, S, H // self.down_ratio,
+                             W // self.down_ratio, self.features)
 
         y = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="head_conv1")(y)
