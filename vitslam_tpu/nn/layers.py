@@ -68,17 +68,23 @@ def _is_rope_cache(pos) -> bool:
     return isinstance(pos, tuple) and len(pos) == 3 and isinstance(pos[2], int)
 
 
-# below this many tokens XLA's fused small attention beats a kernel launch
-_FUSED_MIN_TOKENS = 512
+# below this many tokens XLA's fused small attention beats a kernel launch;
+# above the max, the fused kernel would stream K and recompute the in-kernel
+# LN/RoPE prep once per q block (measured: 75/30 point-aligned 20.6 -> 15.4
+# FPS) — the unfused flash path wins there
+_FUSED_MIN_TOKENS = 384
+_FUSED_MAX_TOKENS = 4096
 
 
 def _fused_attention_enabled() -> bool:
-    # default OFF: the 64-lane-per-head BlockSpec slicing lowers in the
-    # pallas interpreter but is rejected by the real Mosaic TPU lowering
-    # ("last two block dims must be divisible by (8, 128) or equal the
-    # array dims") — the kernel needs a (B, 3H, N, dh)-layout rework before
-    # it can be the TPU default. Opt in with VITSLAM_FUSED_ATTN=1.
-    return os.environ.get("VITSLAM_FUSED_ATTN", "0") == "1"
+    env = os.environ.get("VITSLAM_FUSED_ATTN", "auto")
+    if env in ("0", "xla"):
+        return False
+    if env == "1":
+        return True
+    from ..ops.attention import _on_tpu
+
+    return _on_tpu()
 
 
 def _qk_shift_from(qp, kp, dh: int):
@@ -113,6 +119,12 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden_features, use_bias=self.bias,
                      dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
+        if os.environ.get("VITSLAM_GELU_BARRIER", "1") == "1":
+            # stop XLA fusing the gelu into the fc2 matmul's contracting
+            # operand (profiled: the combined fusion recomputes the gelu per
+            # K tile and runs at ~62 TF/s vs ~245 for the clean fc1 matmul;
+            # materializing the activation costs one cheap HBM round trip)
+            x = jax.lax.optimization_barrier(x)
         x = nn.Dense(self.out_features, use_bias=self.bias,
                      dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
         return x
@@ -215,7 +227,7 @@ class Attention(nn.Module):
         fusable = fast or (not self.qk_norm and self.rope is None
                            and pos is None)
         if (fusable and _fused_attention_enabled()
-                and N >= _FUSED_MIN_TOKENS):
+                and _FUSED_MIN_TOKENS <= N <= _FUSED_MAX_TOKENS):
             from ..ops.fused_attention import fused_qkv_attention
 
             kwargs = dict(num_heads=h)

@@ -169,11 +169,17 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
     C = C3 // 3
     h = num_heads
     dh = C // h
-    single = _single_k_blocks(N, N, dh, dh + 1)
-    if single is not None:
-        block_q, block_k = single
-        while block_k % block_q:  # q blocks must tile the single K tile
-            block_q -= 128
+    # K padded to a 512 multiple so power-of-two q blocks always tile it;
+    # the in-kernel prep temporaries (fp32 LN/RoPE intermediates for the
+    # whole K tile) cost ~7 B/logit-row-elem, so the q block is capped by a
+    # 13 MB budget; beyond 4096 keys the kernel streams K (k-prep is then
+    # recomputed per q block — acceptable, it is ~dh/block_k of the logits).
+    L = _round_up(N, 512)
+    if L <= 4096:
+        block_k = L
+        kv_bytes = 2 * 2 * L * (2 * dh + 2)
+        bq_cap = ((13 * 2**20 - kv_bytes) // (7 * L)) // 128 * 128
+        block_q = 512 if bq_cap >= 512 else (256 if bq_cap >= 256 else 128)
     else:
         block_q, block_k = 512, 1024
     n_pad = _round_up(N, max(block_q, block_k))
