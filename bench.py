@@ -71,7 +71,10 @@ def main():
     from vitslam_tpu.data.preprocess import get_target_shape
     H = int(get_target_shape(aspect, W, 14)[0])
 
-    encode_batch = int(os.environ.get("BENCH_ENCODE_BATCH", 8))
+    # default encode batch: 16 at the wide reference aspect; the square
+    # stress shape has ~3.3x the tokens per frame and OOMs HBM beyond 8
+    default_eb = 16 if H <= 300 else 8
+    encode_batch = int(os.environ.get("BENCH_ENCODE_BATCH", default_eb))
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (1, width, 3, H, W), jnp.bfloat16)
     group_images = jax.random.uniform(

@@ -72,9 +72,16 @@ def _prep_tile(raw, cos_ref, sin_ref, rot_ref, s_ref, b_ref, do_ln, do_rope):
 def _fused_kernel(
     smax_ref, q_ref, k_ref, v_ref, *refs,
     kv_len: int, block_k: int, needs_mask: bool, bounded: bool,
-    single_k: bool, do_ln: bool, do_rope: bool, qscale: float,
+    single_k: bool, do_ln: bool, do_rope: bool, qscale: float, dh: int,
+    heads_per_block: int,
 ):
-    """One (batch*head, q_block, k_block) grid step.
+    """One (batch*head_group, q_block, k_block) grid step.
+
+    The q/k/v tiles are (block, G*dh) lane groups sliced straight out of
+    the flat (B, N, 3C) qkv array (G = 128//dh heads per grid step — a
+    128-lane block is the smallest Mosaic-legal lane slice); the kernel
+    loops over the G sub-heads in registers, so no relayout ever touches
+    HBM on either side.
 
     refs layout: [cos_q, sin_q, cos_k, sin_k]? (if do_rope)
                  [q_scale, q_bias, k_scale, k_bias]? (if do_ln)
@@ -100,67 +107,79 @@ def _fused_kernel(
 
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
+    G = heads_per_block
 
-    q = _prep_tile(q_ref[0, 0], cosq_ref, sinq_ref, rot_ref, qs_ref, qb_ref,
-                   do_ln, do_rope) * qscale
-    k = _prep_tile(k_ref[0, 0], cosk_ref, sink_ref, rot_ref, ks_ref, kb_ref,
-                   do_ln, do_rope)
-    s = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # (block_q, block_k) log2-domain logits
-    if needs_mask:
-        # padded K rows come out of LN as the bias vector -> real mass;
-        # mask is required for correctness here (cf. the unfused MXU-sum
-        # trick where padded mass is provably zero)
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
-
-    v = v_ref[0, 0]
-    ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
-
-    if single_k:
-        shift = smax_ref[0] if bounded else _row_max(s)
-        p = jnp.exp2(s - shift).astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p, jnp.concatenate([v, ones], axis=1),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        l = pv[:, -1:]
-        o_ref[0, 0] = (pv[:, :-1] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        return
-
-    @pl.when(kb == 0)
+    @pl.when(jnp.logical_and(kb == 0, not single_k))
     def _init():
         m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    if bounded:
-        p = jnp.exp2(s - smax_ref[0]).astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p, jnp.concatenate([v, ones], axis=1),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        l_scratch[:] = l_scratch[:] + pv[:, -1:]
-        acc_scratch[:] = acc_scratch[:] + pv[:, :-1]
-    else:
-        m_prev = m_scratch[:]
-        m_next = jnp.maximum(m_prev, _row_max(s))
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next).astype(jnp.bfloat16)
-        m_scratch[:] = m_next
-        pv = jax.lax.dot_general(
-            p, jnp.concatenate([v, ones], axis=1),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        l_scratch[:] = alpha * l_scratch[:] + pv[:, -1:]
-        acc_scratch[:] = acc_scratch[:] * alpha + pv[:, :-1]
+    q_tile = q_ref[0]
+    k_tile = k_ref[0]
+    v_tile = v_ref[0]
+    outs = []
+    for g in range(G):
+        sl = slice(g * dh, (g + 1) * dh)
+        q = _prep_tile(q_tile[:, sl], cosq_ref, sinq_ref, rot_ref, qs_ref,
+                       qb_ref, do_ln, do_rope) * qscale
+        k = _prep_tile(k_tile[:, sl], cosk_ref, sink_ref, rot_ref, ks_ref,
+                       kb_ref, do_ln, do_rope)
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (block_q, block_k) log2-domain logits
+        if needs_mask:
+            # padded K rows come out of LN as the bias vector -> real mass
+            col = (kb * block_k
+                   + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        v = v_tile[:, sl]
+        ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
+        vv = jnp.concatenate([v, ones], axis=1)
+
+        if single_k:
+            shift = smax_ref[0] if bounded else _row_max(s)
+            p = jnp.exp2(s - shift).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p, vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append((pv[:, :-1] / jnp.maximum(pv[:, -1:], 1e-30)))
+            continue
+
+        gsl = slice(g, g + 1)
+        if bounded:
+            p = jnp.exp2(s - smax_ref[0]).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p, vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_scratch[:, gsl] = l_scratch[:, gsl] + pv[:, -1:]
+            acc_scratch[:, sl] = acc_scratch[:, sl] + pv[:, :-1]
+        else:
+            m_prev = m_scratch[:, gsl]
+            m_next = jnp.maximum(m_prev, _row_max(s))
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next).astype(jnp.bfloat16)
+            m_scratch[:, gsl] = m_next
+            pv = jax.lax.dot_general(
+                p, vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_scratch[:, gsl] = alpha * l_scratch[:, gsl] + pv[:, -1:]
+            acc_scratch[:, sl] = acc_scratch[:, sl] * alpha + pv[:, :-1]
+
+    if single_k:
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        return
 
     @pl.when(kb == nkb - 1)
     def _finalize():
-        o_ref[0, 0] = (acc_scratch[:] /
-                       jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
+        parts = [acc_scratch[:, g * dh:(g + 1) * dh]
+                 / jnp.maximum(l_scratch[:, g:g + 1], 1e-30)
+                 for g in range(G)]
+        o_ref[0] = jnp.concatenate(parts, axis=1).astype(o_ref.dtype)
 
 
 def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
@@ -169,15 +188,19 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
     C = C3 // 3
     h = num_heads
     dh = C // h
+    G = max(1, 128 // dh)          # heads per 128-lane block
+    while h % G:                   # few/odd heads: shrink the group
+        G //= 2
+    h2 = h // G                    # lane blocks per q/k/v section
     # K padded to a 512 multiple so power-of-two q blocks always tile it;
     # the in-kernel prep temporaries (fp32 LN/RoPE intermediates for the
     # whole K tile) cost ~7 B/logit-row-elem, so the q block is capped by a
-    # 13 MB budget; beyond 4096 keys the kernel streams K (k-prep is then
-    # recomputed per q block — acceptable, it is ~dh/block_k of the logits).
+    # 13 MB budget (G sub-heads share the tile sequentially); beyond 4096
+    # keys the kernel streams K and k-prep is recomputed per q block.
     L = _round_up(N, 512)
     if L <= 4096:
         block_k = L
-        kv_bytes = 2 * 2 * L * (2 * dh + 2)
+        kv_bytes = 2 * 2 * L * (2 * G * dh + 2)
         bq_cap = ((13 * 2**20 - kv_bytes) // (7 * L)) // 128 * 128
         block_q = 512 if bq_cap >= 512 else (256 if bq_cap >= 256 else 128)
     else:
@@ -188,28 +211,24 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
         if do_rope:
             cos = jnp.pad(cos, ((0, 0), (0, n_pad - N), (0, 0)))
             sin = jnp.pad(sin, ((0, 0), (0, n_pad - N), (0, 0)))
-    # Mosaic requires lane-dim blocks of 128 — or the FULL array dim, which
-    # a dh-lane head slice only satisfies in a (B, 3H, N, dh) layout. This
-    # one packed relayout (plus the output's inverse) replaces the unfused
-    # path's separate q/k/v/out transposes.
-    qkv3 = qkv.reshape(B, n_pad, 3 * h, dh).transpose(0, 2, 1, 3)
 
-    grid = (B * h, n_pad // block_q, n_pad // block_k)
+    gd = G * dh  # 128 (or dh when dh >= 128)
+    grid = (B * h2, n_pad // block_q, n_pad // block_k)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, block_q, dh), lambda b, i, j: (b // h, b % h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, dh),
-                     lambda b, i, j: (b // h, h + b % h, j, 0)),
-        pl.BlockSpec((1, 1, block_k, dh),
-                     lambda b, i, j: (b // h, 2 * h + b % h, j, 0)),
+        pl.BlockSpec((1, block_q, gd), lambda b, i, j: (b // h2, i, b % h2)),
+        pl.BlockSpec((1, block_k, gd),
+                     lambda b, i, j: (b // h2, j, h2 + b % h2)),
+        pl.BlockSpec((1, block_k, gd),
+                     lambda b, i, j: (b // h2, j, 2 * h2 + b % h2)),
     ]
-    args = [smax, qkv3, qkv3, qkv3]
+    args = [smax, qkv, qkv, qkv]
     if do_rope:
         in_specs += [
-            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, 0)),
-            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h, i, 0)),
-            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, 0)),
-            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h, j, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h2, i, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b // h2, i, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h2, j, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b // h2, j, 0)),
         ]
         args += [cos, sin, cos, sin]
     if do_ln:
@@ -228,23 +247,23 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
             _fused_kernel, kv_len=N, block_k=block_k,
             needs_mask=(n_pad != N), bounded=bounded,
             single_k=(n_pad // block_k == 1), do_ln=do_ln, do_rope=do_rope,
-            qscale=scale * _LOG2E,
+            qscale=scale * _LOG2E, dh=dh, heads_per_block=G,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, dh),
-                               lambda b, i, j: (b // h, b % h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, h, n_pad, dh), qkv.dtype),
+        out_specs=pl.BlockSpec((1, block_q, gd),
+                               lambda b, i, j: (b // h2, i, b % h2)),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), qkv.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, dh), jnp.float32),
+            pltpu.VMEM((block_q, G), jnp.float32),
+            pltpu.VMEM((block_q, G), jnp.float32),
+            pltpu.VMEM((block_q, gd), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(*args)
-    return out.transpose(0, 2, 1, 3).reshape(B, n_pad, C)[:, :N]
+    return out[:, :N]
 
 
 def _fused_reference(qkv, cos, sin, qs, qb, ks, kb_, *, num_heads, scale,
