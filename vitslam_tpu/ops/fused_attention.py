@@ -188,8 +188,15 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
     C = C3 // 3
     h = num_heads
     dh = C // h
-    G = max(1, 128 // dh)          # heads per 128-lane block
-    while h % G:                   # few/odd heads: shrink the group
+    # heads per grid step: a 128-lane block (G = 128//dh heads) is both the
+    # smallest Mosaic-legal lane slice and the measured sweet spot — larger
+    # groups (G=4/8 via VITSLAM_FUSED_G) lose to VMEM pressure from the
+    # unrolled sub-head temporaries (G=4: 572 ms vs 521 ms encode; G=8
+    # exceeds scoped VMEM outright at the 2560-token shape).
+    env_g = os.environ.get("VITSLAM_FUSED_G", "auto")
+    G = max(1, 128 // dh) if env_g == "auto" else int(env_g)
+    G = min(G, h)
+    while G > 1 and (h % G or (G * dh) % 128):
         G //= 2
     h2 = h // G                    # lane blocks per q/k/v section
     # K padded to a 512 multiple so power-of-two q blocks always tile it;
