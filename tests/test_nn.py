@@ -308,3 +308,29 @@ class TestMatmulResize:
         # in bf16 (~1e-2) anyway.
         self._check(37, 37, 148, 148)
         self._check(296, 296, 518, 518, tol=5e-4)
+
+
+def test_int8_backbone_close_to_bf16():
+    """Opt-in int8 path (ops/quant.py): backbone outputs stay close to the
+    full-precision path (dynamic symmetric quant, ~1e-2 relative)."""
+    import os
+
+    from vitslam_tpu.models.aggregator import Aggregator
+
+    agg = Aggregator(img_size=28, patch_size=14, embed_dim=64, depth=2,
+                     num_heads=2, patch_embed_depth=1,
+                     intermediate_layers=(0, 1, 1, 1), dtype=jnp.float32)
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(1, 2, 3, 28, 42)), jnp.float32)
+    params = agg.init(jax.random.PRNGKey(0), imgs)
+    ref, _ = agg.apply(params, imgs)
+    os.environ["VITSLAM_INT8"] = "1"
+    try:
+        got, _ = agg.apply(params, imgs)
+    finally:
+        del os.environ["VITSLAM_INT8"]
+    a = np.asarray(ref[-1], np.float64).ravel()
+    b = np.asarray(got[-1], np.float64).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.995, cos
+    assert np.isfinite(b).all()

@@ -71,7 +71,7 @@ class _EmbedBlockScan(nn.Module):
         x = block_cls(
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=False, init_values=self.init_values, dtype=self.dtype,
-            name="block",
+            quant=True, name="block",
         )(x)
         return x, None
 
@@ -183,12 +183,14 @@ class _AggPairScan(nn.Module):
         frame_blk = block_cls(
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=self.qk_norm, init_values=self.init_values, rope="2d",
-            rope_base=self.rope_base, dtype=self.dtype, name="frame_block",
+            rope_base=self.rope_base, dtype=self.dtype, quant=True,
+            name="frame_block",
         )
         global_blk = block_cls(
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=self.qk_norm, init_values=self.init_values, rope="2d",
-            rope_base=self.rope_base, dtype=self.dtype, name="global_block",
+            rope_base=self.rope_base, dtype=self.dtype, quant=True,
+            name="global_block",
         )
         x = frame_blk(x, pos_frame)                       # (B*S, T, C)
         frame_out = x

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import scaled_dot_product_attention
+from ..ops.quant import int8_enabled, int8_matmul
 from .rope import apply_rope_1d, apply_rope_2d, apply_rope_cached
 
 Dtype = jnp.dtype
@@ -107,17 +108,42 @@ def _apply_rope(q, k, pos_q, pos_k, mode: Optional[str], base: float):
     return fn(q, pos_q, base), fn(k, pos_k, base)
 
 
+class QuantizableDense(nn.Module):
+    """nn.Dense twin (identical param names/shapes/init) that routes
+    through the int8 MXU path when the module was built with quant=True AND
+    VITSLAM_INT8=1 (ops/quant.py — opt-in frozen-backbone serving mode)."""
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        if self.quant and int8_enabled():
+            return int8_matmul(x, kernel, bias, self.dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Mlp(nn.Module):
     """Two-layer GELU MLP."""
     hidden_features: int
     out_features: int
     bias: bool = True
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_features, use_bias=self.bias,
-                     dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = QuantizableDense(self.hidden_features, use_bias=self.bias,
+                             dtype=self.dtype, quant=self.quant,
+                             name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         if os.environ.get("VITSLAM_GELU_BARRIER", "1") == "1":
             # stop XLA fusing the gelu into the fc2 matmul's contracting
@@ -125,8 +151,9 @@ class Mlp(nn.Module):
             # K tile and runs at ~62 TF/s vs ~245 for the clean fc1 matmul;
             # materializing the activation costs one cheap HBM round trip)
             x = jax.lax.optimization_barrier(x)
-        x = nn.Dense(self.out_features, use_bias=self.bias,
-                     dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        x = QuantizableDense(self.out_features, use_bias=self.bias,
+                             dtype=self.dtype, quant=self.quant,
+                             name="fc2")(x)
         return x
 
 
@@ -211,14 +238,16 @@ class Attention(nn.Module):
     rope: Optional[str] = None
     rope_base: float = 100.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None):
         B, N, C = x.shape
         h = self.num_heads
         dh = self.dim // h
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
-                       dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = QuantizableDense(3 * self.dim, use_bias=self.qkv_bias,
+                               dtype=self.dtype, quant=self.quant,
+                               name="qkv")(x)
         static_max = None
         fast = self.qk_norm and _is_rope_cache(pos)
         # fully-fused path: qkv-packed Pallas kernel (per-head LN + RoPE +
@@ -240,9 +269,9 @@ class Attention(nn.Module):
                               nsplit=nsplit,
                               static_max=_qk_shift_from(qp, kp, dh))
             out = fused_qkv_attention(qkv, **kwargs)
-            return nn.Dense(self.dim, use_bias=self.proj_bias,
-                            dtype=self.dtype, param_dtype=jnp.float32,
-                            name="proj")(out)
+            return QuantizableDense(self.dim, use_bias=self.proj_bias,
+                                    dtype=self.dtype, quant=self.quant,
+                                    name="proj")(out)
         if fast:
             from .rope import apply_rope_flat
 
@@ -272,8 +301,9 @@ class Attention(nn.Module):
             q, k = _apply_rope(q, k, pos, pos, self.rope, self.rope_base)
         out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
-        return nn.Dense(self.dim, use_bias=self.proj_bias,
-                        dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+        return QuantizableDense(self.dim, use_bias=self.proj_bias,
+                                dtype=self.dtype, quant=self.quant,
+                                name="proj")(out)
 
 
 class CrossAttention(nn.Module):
@@ -331,18 +361,21 @@ class Block(nn.Module):
     rope: Optional[str] = None
     rope_base: float = 100.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None):
         ls = (lambda name: LayerScale(self.dim, self.init_values, name=name)) \
             if self.init_values is not None else (lambda name: (lambda t: t))
         attn = Attention(self.dim, self.num_heads, self.qkv_bias, self.proj_bias,
-                         self.qk_norm, self.rope, self.rope_base, self.dtype, name="attn")
+                         self.qk_norm, self.rope, self.rope_base, self.dtype,
+                         quant=self.quant, name="attn")
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         x = x + ls("ls1")(attn(y, pos))
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         x = x + ls("ls2")(Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                              dtype=self.dtype, name="mlp")(y))
+                              dtype=self.dtype, quant=self.quant,
+                              name="mlp")(y))
         return x
 
 
