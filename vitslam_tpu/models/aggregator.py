@@ -237,8 +237,16 @@ class Aggregator(nn.Module):
         return 1 + self.num_register_tokens
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> tuple[list[jax.Array], int]:
+    def __call__(self, images: jax.Array, patch_tokens=None,
+                 embed_only: bool = False):
         """images (B, S, 3, H, W) in [0, 1].
+
+        Default: full forward. With ``embed_only`` (static), stops after the
+        per-frame patch embedding and returns (B, S, P, embed_dim) — the
+        pipeline uses this to embed each unique frame ONCE per chunk group
+        (consecutive chunks share their overlap frames). With
+        ``patch_tokens`` (B, S, P, embed_dim) provided, the embedding is
+        skipped and the given tokens are used (the matching second half).
 
         Returns:
             tapped: list of (B, S, P_total, 2*embed_dim) outputs, one per
@@ -247,16 +255,23 @@ class Aggregator(nn.Module):
             patch_start_idx: index of the first patch token.
         """
         B, S, C, H, W = images.shape
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 1, 3, 1, 1)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 1, 3, 1, 1)
-        images = (images.astype(jnp.float32) - mean) / std
+        if patch_tokens is None:
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 1, 3, 1, 1)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 1, 3, 1, 1)
+            images_n = (images.astype(jnp.float32) - mean) / std
 
-        patch_tokens = PatchEmbedViT(
-            img_size=self.img_size, patch_size=self.patch_size,
-            embed_dim=self.embed_dim, depth=self.patch_embed_depth,
-            num_heads=self.patch_embed_heads, dtype=self.dtype,
-            remat=self.remat, name="patch_embed",
-        )(images.reshape(B * S, C, H, W))
+            patch_tokens = PatchEmbedViT(
+                img_size=self.img_size, patch_size=self.patch_size,
+                embed_dim=self.embed_dim, depth=self.patch_embed_depth,
+                num_heads=self.patch_embed_heads, dtype=self.dtype,
+                remat=self.remat, name="patch_embed",
+            )(images_n.reshape(B * S, C, H, W))
+            if embed_only:
+                return patch_tokens.reshape(
+                    B, S, patch_tokens.shape[1], self.embed_dim)
+        else:
+            patch_tokens = patch_tokens.reshape(
+                B * S, patch_tokens.shape[2], self.embed_dim).astype(self.dtype)
         gh, gw = H // self.patch_size, W // self.patch_size
 
         camera_token = self.param(

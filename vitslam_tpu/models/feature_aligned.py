@@ -85,7 +85,14 @@ class FeatureAlignedVGGT(nn.Module):
             temporal_attention=self.temporal_attention, dtype=self.dtype,
         )
 
-    def encode_chunks(self, images: jax.Array) -> dict:
+    def embed_frames(self, images: jax.Array):
+        """Per-frame patch embedding (frame-independent; see
+        VGGTCore.embed_frames — used by the pipeline's unique-frame
+        dedup)."""
+        return self.core.embed_frames(images)
+
+    def encode_chunks(self, images: jax.Array,
+                      patch_tokens=None) -> dict:
         """The chunk-independent (and therefore **batchable**) stage: run
         the frozen backbone and all decoder heads, returning raw per-chunk
         outputs plus the last tap for the alignment stage.
@@ -98,7 +105,7 @@ class FeatureAlignedVGGT(nn.Module):
         which is where ~95% of the FLOPs live. Numerics are identical.
         """
         B, S, _, H, W = images.shape
-        taps, psi = self.core.encode(images)
+        taps, psi = self.core.encode(images, patch_tokens)
         raw: dict = {"last_tap": taps[-1]}
         if self.enable_camera:
             raw["pose_enc_raw"] = self.core.decode_camera(taps)[-1]

@@ -72,10 +72,17 @@ class PointAlignedVGGT(nn.Module):
             dtype=self.dtype, remat=self.remat,
         )
 
-    def encode_chunks(self, images: jax.Array) -> dict:
+    def embed_frames(self, images: jax.Array):
+        """Per-frame patch embedding (frame-independent; see
+        VGGTCore.embed_frames — used by the pipeline's unique-frame
+        dedup)."""
+        return self.core.embed_frames(images)
+
+    def encode_chunks(self, images: jax.Array,
+                      patch_tokens=None) -> dict:
         """Chunk-independent (batchable) stage: backbone + decoder heads
         (the IRLS alignment in align_chunk is the only sequential part)."""
-        taps, psi = self.core.encode(images)
+        taps, psi = self.core.encode(images, patch_tokens)
         raw: dict = {}
         raw["points_raw"], raw["points_conf"] = self.core.decode_point(
             taps, images, psi

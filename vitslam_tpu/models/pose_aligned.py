@@ -67,9 +67,16 @@ class PoseAlignedVGGT(nn.Module):
             dtype=self.dtype, remat=self.remat,
         )
 
-    def encode_chunks(self, images: jax.Array) -> dict:
+    def embed_frames(self, images: jax.Array):
+        """Per-frame patch embedding (frame-independent; see
+        VGGTCore.embed_frames — used by the pipeline's unique-frame
+        dedup)."""
+        return self.core.embed_frames(images)
+
+    def encode_chunks(self, images: jax.Array,
+                      patch_tokens=None) -> dict:
         """Chunk-independent (batchable) stage: backbone + decoder heads."""
-        taps, psi = self.core.encode(images)
+        taps, psi = self.core.encode(images, patch_tokens)
         raw: dict = {"pose_enc_raw": self.core.decode_camera(taps)[-1]}
         if self.enable_depth:
             raw["depth_raw"], raw["depth_conf"] = self.core.decode_depth(

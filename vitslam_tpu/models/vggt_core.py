@@ -81,9 +81,15 @@ class VGGTCore(nn.Module):
                 dim_in=dim_in, patch_size=self.patch_size, dtype=self.dtype,
             )
 
-    def encode(self, images: jax.Array):
+    def encode(self, images: jax.Array, patch_tokens=None):
         """images (B, S, 3, H, W) -> (taps list, patch_start_idx)."""
-        return self.aggregator(images)
+        return self.aggregator(images, patch_tokens)
+
+    def embed_frames(self, images: jax.Array):
+        """Per-frame patch embedding only: (B, S, 3, H, W) ->
+        (B, S, P, embed_dim). Frame-independent, so the pipeline can embed
+        each unique frame once per chunk group."""
+        return self.aggregator(images, None, True)
 
     def decode_camera(self, taps) -> list[jax.Array]:
         """-> list over refinement iterations of (B, S, 9) fp32 encodings."""

@@ -76,6 +76,13 @@ class ChunkedPipeline:
             self._encode_fn = jax.jit(
                 lambda p, im: self.model.apply(p, im, method="encode_chunks")
             )
+        self._embed_fn = (
+            jax.jit(lambda p, im: self.model.apply(p, im,
+                                                   method="embed_frames"))
+            if hasattr(model, "embed_frames") else None)
+        self._encode_tok_fn = jax.jit(
+            lambda p, im, tok: self.model.apply(p, im, tok,
+                                                method="encode_chunks"))
         self._align_fn = jax.jit(
             lambda p, raw, shape, k, ctx, gt, tr, rng: self.model.apply(
                 p, raw, shape, k, ctx, gt, tr, method="align_chunk",
@@ -154,7 +161,7 @@ class ChunkedPipeline:
         raw_per_chunk = None
         if (self.encode_batch > 1 and not self.train
                 and hasattr(self.model, "encode_chunks")):
-            raw_per_chunk = self._encode_all(chunks)
+            raw_per_chunk = self._encode_all(chunks, indices, images)
 
         state = None
         chunk_outputs: list[dict] = []
@@ -204,11 +211,24 @@ class ChunkedPipeline:
         )
         return predictions, merged_batch
 
-    def _encode_all(self, chunks: list[dict]) -> list:
+    def _encode_all(self, chunks: list[dict], indices=None,
+                    seq_images=None) -> list:
         """Stage 1 of the pipelined driver: batch same-shape chunks along B
         (up to ``encode_batch`` at a time), run the chunk-independent
-        encode, and split the raw outputs back per chunk."""
+        encode, and split the raw outputs back per chunk.
+
+        When the model exposes ``embed_frames`` (and B == 1, no mesh), the
+        per-frame patch embedding runs once per UNIQUE frame of the group:
+        with overlap o, consecutive chunks share o frames, so ~o/width of
+        the embed compute (the 24-block DINOv2 ViT) is deduplicated; the
+        gathered tokens feed ``encode_chunks(patch_tokens=...)``, which is
+        numerically identical (frame embedding is frame-independent)."""
         raws: list = [None] * len(chunks)
+        dedup = (self.mesh is None and indices is not None
+                 and seq_images is not None
+                 and hasattr(self.model, "embed_frames")
+                 and chunks[0]["images"].shape[0] == 1
+                 and self._embed_fn is not None)
         i = 0
         while i < len(chunks):
             shape = chunks[i]["images"].shape
@@ -224,7 +244,27 @@ class ChunkedPipeline:
                 n_axis = self.mesh.shape[self.mesh.axis_names[0]]
                 imgs += [imgs[-1]] * ((-len(imgs)) % n_axis)
             stacked = jnp.concatenate(imgs, axis=0)
-            raw = self._encode_fn(self.params, stacked)
+
+            tokens = None
+            if dedup:
+                S = shape[1]
+                ids = np.concatenate([np.asarray(indices[g]) for g in group])
+                uniq, inv = np.unique(ids, return_inverse=True)
+                if len(uniq) < len(ids):
+                    # pad the unique list to an 8-frame bucket so one
+                    # compiled embed shape serves every full group
+                    target = -(-len(uniq) // 8) * 8
+                    uniq_p = np.concatenate(
+                        [uniq, np.full(target - len(uniq), uniq[-1])])
+                    frames = jnp.asarray(seq_images)[:, uniq_p]  # (1,F,...)
+                    emb = self._embed_fn(self.params, frames)    # (1,F,P,C)
+                    tok = jnp.take(emb[0], jnp.asarray(inv), axis=0)
+                    tokens = tok.reshape(len(group), S, *tok.shape[1:])
+
+            if tokens is not None:
+                raw = self._encode_tok_fn(self.params, stacked, tokens)
+            else:
+                raw = self._encode_fn(self.params, stacked)
             B = shape[0]
             for k, g in enumerate(group):
                 raws[g] = jax.tree_util.tree_map(
