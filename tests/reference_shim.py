@@ -105,6 +105,131 @@ def install_vggt_shim():
     )
 
 
+def install_metrics_shims():
+    """Extra module shims so the reference's *metrics orchestrator*
+    (training/training_metrics.py) can be imported and executed here:
+    pytorch3d (Pointclouds + iterative_closest_point wrapping this repo's
+    JAX ICP, so both sides share the ICP primitive and the test compares
+    the masking/subsampling/unprojection orchestration), hydra.utils,
+    torchmetrics.Metric, viser, and vggt.visual_util. Idempotent."""
+    install_vggt_shim()
+    import torch
+
+    def module(name):
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+        return m
+
+    if "pytorch3d" not in sys.modules:
+        p3d = module("pytorch3d")
+        structures = module("pytorch3d.structures")
+        ops = module("pytorch3d.ops")
+        p3d.structures = structures
+        p3d.ops = ops
+
+        class Pointclouds:
+            def __init__(self, points):
+                self._points = [torch.as_tensor(p) for p in points]
+
+            def points_list(self):
+                return list(self._points)
+
+        def iterative_closest_point(X, Y, max_iterations=30):
+            import jax.numpy as jnp
+
+            from vitslam_tpu.eval.icp import (
+                iterative_closest_point as jax_icp,
+            )
+
+            outs = []
+            for p, g in zip(X.points_list(), Y.points_list()):
+                sol = jax_icp(
+                    jnp.asarray(p.detach().cpu().numpy()),
+                    jnp.asarray(g.detach().cpu().numpy()),
+                    iterations=max_iterations,
+                )
+                outs.append(torch.from_numpy(np.asarray(sol.transformed)))
+            return types.SimpleNamespace(Xt=Pointclouds(outs))
+
+        structures.Pointclouds = Pointclouds
+        ops.iterative_closest_point = iterative_closest_point
+
+    if "hydra" not in sys.modules:
+        hydra = module("hydra")
+        hydra_utils = module("hydra.utils")
+        hydra.utils = hydra_utils
+
+        def instantiate(cfg, **kw):
+            raise NotImplementedError(
+                "hydra.utils.instantiate shim: construct metrics directly"
+            )
+
+        hydra_utils.instantiate = instantiate
+
+    if "torchmetrics" not in sys.modules:
+        tm = module("torchmetrics")
+
+        class Metric(torch.nn.Module):
+            """Minimal torchmetrics.Metric: add_state registers plain
+            attributes; list states append via update(); no DDP reduce."""
+
+            def __init__(self, **kwargs):
+                super().__init__()
+                self._defaults = {}
+
+            def add_state(self, name, default, dist_reduce_fx=None):
+                self._defaults[name] = default
+                setattr(self, name,
+                        list(default) if isinstance(default, list)
+                        else default.clone())
+
+            def reset(self):
+                for name, default in self._defaults.items():
+                    setattr(self, name,
+                            list(default) if isinstance(default, list)
+                            else default.clone())
+
+            def forward(self, *args, **kwargs):
+                self.update(*args, **kwargs)
+                return self.compute()
+
+        tm.Metric = Metric
+
+    if "viser" not in sys.modules:
+        viser = module("viser")
+        viser.transforms = module("viser.transforms")
+        viser.ViserServer = None
+
+    visual_util = sys.modules.get("vggt.visual_util")
+    if visual_util is None:
+        visual_util = module("vggt.visual_util")
+        sys.modules["vggt"].visual_util = visual_util
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("sky-seg is not available in the test env")
+
+        visual_util.run_skyseg = _unavailable
+        visual_util.download_file_from_url = _unavailable
+
+    geometry = sys.modules["vggt.vggt.utils.geometry"]
+    if not hasattr(geometry, "unproject_depth_map_to_point_map"):
+        from vitslam_tpu.geometry import unproject_depth_to_points
+
+        def unproject_depth_map_to_point_map(depth, extrinsics, intrinsics):
+            import jax.numpy as jnp
+
+            out = unproject_depth_to_points(
+                jnp.asarray(np.asarray(depth)),
+                jnp.asarray(np.asarray(extrinsics)),
+                jnp.asarray(np.asarray(intrinsics)),
+            )
+            return np.asarray(out)
+
+        geometry.unproject_depth_map_to_point_map = (
+            unproject_depth_map_to_point_map
+        )
+
+
 def import_reference(dotted: str):
     """Import a reference module (e.g. 'aligned_vggt.utils.alignment') with
     the shim installed and /root/reference on sys.path."""

@@ -34,8 +34,12 @@ def _resize_bshw(x: np.ndarray, h: int, w: int) -> np.ndarray:
     """Bilinear resize of (B, S, H, W, C) along the spatial dims
     (align_corners=False semantics via jax.image.resize 'linear')."""
     b, s, H, W, c = x.shape
+    # antialias=False: the reference's F.interpolate(bilinear) does not
+    # low-pass filter on downsampling (training_metrics.py:304), and the
+    # 0.5-thresholded masks diverge if we do
     out = jax.image.resize(
-        jnp.asarray(x, jnp.float32), (b, s, h, w, c), method="linear"
+        jnp.asarray(x, jnp.float32), (b, s, h, w, c), method="linear",
+        antialias=False,
     )
     return np.asarray(out)
 
@@ -126,7 +130,9 @@ def prepare_data_for_metrics(
         pred_points = jnp.asarray(pred_dict["world_points"], jnp.float32)
         conf = jnp.asarray(pred_dict["world_points_conf"], jnp.float32)
 
-    thresh = jnp.quantile(conf, valid_point_quantile)
+    # 'nearest' matches the reference's torch_quantile (kthvalue at
+    # round(q*(n-1))+1, training_metrics.py:663-724), not linear interp
+    thresh = jnp.quantile(conf, valid_point_quantile, method="nearest")
     pred_mask = np.asarray(conf > thresh)
     pred_points = np.asarray(pred_points)
     gt_points = np.asarray(gt_dict["world_points"], np.float32)

@@ -336,6 +336,185 @@ def _fused_bwd(num_heads, scale, nsplit, do_ln, do_rope, bounded, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _flat_stream_kernel(
+    smax_ref, q_ref, k_ref, v_ref, o_ref, l_scratch, acc_scratch, *,
+    n_pad_keys: int, dh: int, heads_per_block: int,
+):
+    """Streaming flash attention over PRE-PREPPED flat-layout q/k/v.
+
+    One (batch*head_group, q_block, k_block) grid step. Unlike
+    _fused_kernel there is NO in-kernel LN/RoPE — the caller prepped q/k
+    once in the flat layout (HeadLayerNorm flat=True + apply_rope_flat)
+    and folded scale*log2(e) into q, so streaming K costs no prep
+    recompute (the failure mode that sank the in-kernel-prep streaming
+    variant: 20.6 -> 15.4 FPS at 75/30). Bounded-logit softmax only
+    (qk-norm backbone attention): fixed shift, no online max.
+
+    Padded keys are zero rows -> s = 0 -> each contributes exactly
+    exp2(-shift) of mass to the denominator and nothing to the
+    accumulator (v rows are zero; only the in-kernel ones column is
+    nonzero), so the tail needs no per-logit mask — the total pad mass
+    is subtracted from l at finalize.
+    """
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+    G = heads_per_block
+
+    @pl.when(kb == 0)
+    def _init():
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q_tile = q_ref[0]
+    k_tile = k_ref[0]
+    v_tile = v_ref[0]
+    shift = smax_ref[0]
+    for g in range(G):
+        sl = slice(g * dh, (g + 1) * dh)
+        s = jax.lax.dot_general(
+            q_tile[:, sl], k_tile[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k) log2-domain logits (scale pre-folded)
+        p = jnp.exp2(s - shift).astype(jnp.bfloat16)
+        v = v_tile[:, sl]
+        ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p, jnp.concatenate([v, ones], axis=1), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_scratch[:, g:g + 1] = l_scratch[:, g:g + 1] + pv[:, -1:]
+        acc_scratch[:, sl] = acc_scratch[:, sl] + pv[:, :-1]
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        pad_mass = n_pad_keys * jnp.exp2(-shift)
+        parts = [
+            acc_scratch[:, g * dh:(g + 1) * dh]
+            / jnp.maximum(l_scratch[:, g:g + 1] - pad_mass, 1e-30)
+            for g in range(G)
+        ]
+        o_ref[0] = jnp.concatenate(parts, axis=1).astype(o_ref.dtype)
+
+
+def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
+    B, N, C = q.shape
+    h = num_heads
+    dh = C // h
+    G = max(1, 128 // dh)
+    G = min(G, h)
+    while G > 1 and (h % G or (G * dh) % 128):
+        G //= 2
+    h2 = h // G
+    gd = G * dh
+    nq_pad = _round_up(N, block_q)
+    nk_pad = _round_up(N, block_k)
+    if nq_pad != N:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad - N), (0, 0)))
+    if nk_pad != N:
+        k = jnp.pad(k, ((0, 0), (0, nk_pad - N), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_pad - N), (0, 0)))
+
+    grid = (B * h2, nq_pad // block_q, nk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flat_stream_kernel, n_pad_keys=nk_pad - N, dh=dh,
+            heads_per_block=G,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, gd), lambda b, i, j: (b // h2, i, b % h2)),
+            pl.BlockSpec((1, block_k, gd), lambda b, i, j: (b // h2, j, b % h2)),
+            pl.BlockSpec((1, block_k, gd), lambda b, i, j: (b // h2, j, b % h2)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, gd),
+                               lambda b, i, j: (b // h2, i, b % h2)),
+        out_shape=jax.ShapeDtypeStruct((B, nq_pad, C), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, G), jnp.float32),
+            pltpu.VMEM((block_q, gd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(smax, q, k, v)
+    return out[:, :N]
+
+
+def _flat_reference(q, k, v, *, num_heads):
+    """Plain-XLA math of _flat_stream_kernel (CPU fallback + VJP recompute).
+    q is pre-scaled by scale*log2(e): softmax(q.k / log2(e)) == the kernel's
+    exp2-domain softmax."""
+    B, N, C = q.shape
+    h = num_heads
+    dh = C // h
+    split = lambda x: x.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+    qh, kh, vh = split(q), split(k), split(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * jnp.float32(1.0 / _LOG2E), axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flat(q, k, v, smax, num_heads, block_q, block_k):
+    return _flat_forward(q, k, v, smax, num_heads=num_heads,
+                         block_q=block_q, block_k=block_k)
+
+
+def _flat_fwd(q, k, v, smax, num_heads, block_q, block_k):
+    out = _flat_forward(q, k, v, smax, num_heads=num_heads,
+                        block_q=block_q, block_k=block_k)
+    return out, (q, k, v)
+
+
+def _flat_bwd(num_heads, block_q, block_k, res, g):
+    q, k, v = res
+    f = lambda *a: _flat_reference(*a, num_heads=num_heads)
+    out, vjp = jax.vjp(f, q, k, v)
+    return vjp(g.astype(out.dtype)) + (jnp.zeros((1,), jnp.float32),)
+
+
+_flat.defvjp(_flat_fwd, _flat_bwd)
+
+
+def flat_flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    num_heads: int,
+    static_max: float | jax.Array,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+) -> jax.Array:
+    """Streaming flash attention on flat (B, N, C) prepped q/k/v.
+
+    The large-N (> _FUSED_MAX_TOKENS) TPU self-attention path: the caller
+    has already applied per-head LN + RoPE in the flat layout, so this
+    kernel only streams — no relayout on either side, no prep recompute
+    per q block. Requires a bounded-logit shift (qk-norm attention).
+    """
+    C = q.shape[-1]
+    dh = C // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    if block_q is None:
+        block_q = int(os.environ.get("VITSLAM_FLAT_BQ", 1024))
+    if block_k is None:
+        block_k = int(os.environ.get("VITSLAM_FLAT_BK", 1024))
+    q = (q.astype(jnp.float32) * jnp.float32(scale * _LOG2E)).astype(
+        jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    smax = jnp.asarray(static_max, jnp.float32).reshape(1) * jnp.float32(
+        _LOG2E)
+    smax = jax.lax.stop_gradient(smax)
+    return _flat(q, k, v, smax, num_heads, block_q, block_k)
+
+
 def fused_qkv_attention(
     qkv: jax.Array,
     *,

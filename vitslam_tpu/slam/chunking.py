@@ -33,6 +33,8 @@ FRAME_AXIS_KEYS = (
 )
 # per-chunk outputs concatenated without dedup (one entry per chunk/frame-1)
 CHUNK_AXIS_KEYS = ("chunk_sim3_enc", "frame_se3_enc")
+# list-valued keys merged element-wise along the frame axis (data.py:73-80)
+NESTED_LIST_KEYS = ("pose_enc_list",)
 
 
 def generate_chunks(
@@ -114,16 +116,31 @@ def merge_chunk_outputs(chunk_dicts: Sequence[dict], overlap: int) -> dict:
         return {}
     merged: dict = {}
     for key in chunk_dicts[0]:
+        if key in NESTED_LIST_KEYS:
+            # list-valued entries (e.g. the camera head's iterative
+            # pose_enc_list) merge element-wise across chunks
+            # (data.py:73-80)
+            per_chunk = [d[key] for d in chunk_dicts if key in d]
+            merged[key] = [
+                _merge_frame_axis([np.asarray(c[i]) for c in per_chunk],
+                                  overlap)
+                for i in range(len(per_chunk[0]))
+            ]
+            continue
         vals = [np.asarray(d[key]) for d in chunk_dicts if key in d]
         if key in CHUNK_AXIS_KEYS:
             merged[key] = np.concatenate(vals, axis=1)
         elif key in FRAME_AXIS_KEYS:
-            if overlap > 0:
-                vals = [vals[0]] + [v[:, overlap:] for v in vals[1:]]
-            merged[key] = np.concatenate(vals, axis=1)
+            merged[key] = _merge_frame_axis(vals, overlap)
         else:
             merged[key] = vals[-1]  # keep latest (e.g. tokens, diagnostics)
     return merged
+
+
+def _merge_frame_axis(vals: list[np.ndarray], overlap: int) -> np.ndarray:
+    if overlap > 0:
+        vals = [vals[0]] + [v[:, overlap:] for v in vals[1:]]
+    return np.concatenate(vals, axis=1)
 
 
 def check_and_fix_inf_nan(
