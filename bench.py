@@ -72,8 +72,10 @@ def main():
     H = int(get_target_shape(aspect, W, 14)[0])
 
     # default encode batch: 16 at the wide reference aspect; the square
-    # stress shape has ~3.3x the tokens per frame and OOMs HBM beyond 8
-    default_eb = 16 if H <= 300 else 8
+    # stress shape has ~3.3x the tokens per frame and OOMs HBM beyond 8.
+    # Scale down with chunk width (the 75/30 variants' tap tensors are
+    # width-proportional: 16 chunks x 75 frames OOMs 16 GB)
+    default_eb = max(1, (16 if H <= 300 else 8) * 5 // width)
     encode_batch = int(os.environ.get("BENCH_ENCODE_BATCH", default_eb))
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (1, width, 3, H, W), jnp.bfloat16)

@@ -29,7 +29,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from vitslam_tpu.ops.flash_attention import flash_attention
-    from vitslam_tpu.ops.fused_attention import flat_flash_attention
+    import vitslam_tpu.ops.fused_attention as fat
 
     rng = jax.random.PRNGKey(0)
 
@@ -46,7 +46,7 @@ def main():
         return (time.time() - t0) / iters - 0.008
 
     h, dh = 16, 64
-    C = h * dh * 16 // 16  # 1024
+    C = h * dh
     ns = [int(a) for a in sys.argv[1:]] or [30900, 103050]
     smax = 24.0
     for n in ns:
@@ -67,18 +67,36 @@ def main():
             print(f"N={n} transposed-flash FAIL {type(e).__name__}: "
                   f"{str(e)[:140]}", flush=True)
 
-        for bq, bk in [(512, 1024), (1024, 1024), (1024, 2048), (2048, 1024),
-                       (512, 2048), (2048, 512), (1536, 1536), (768, 3072)]:
-            f1 = jax.jit(lambda q, k, v, bq=bq, bk=bk: flat_flash_attention(
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention as official,
+            )
+            fo = jax.jit(lambda q, k, v: official(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), sm_scale=1.0 / dh ** 0.5))
+            dt = timeit(fo, (qt, kt, vt))
+            print(f"N={n} official-pallas-flash           "
+                  f"{dt*1e3:8.2f} ms  {flops/dt/1e12:6.1f} TF/s", flush=True)
+        except Exception as e:
+            print(f"N={n} official-pallas-flash FAIL {type(e).__name__}: "
+                  f"{str(e)[:100]}", flush=True)
+
+        for bq, bk, inner in [(1024, 1024, 0), (1024, 4096, 512),
+                              (1024, 2048, 512), (2048, 2048, 512),
+                              (4096, 512, 0), (3072, 1024, 0),
+                              (1024, 4096, 1024), (512, 8192, 512)]:
+            os.environ["VITSLAM_FLAT_INNER_K"] = str(inner)
+            f1 = jax.jit(lambda q, k, v, bq=bq, bk=bk: fat.flat_flash_attention(
                 q, k, v, num_heads=h, static_max=smax, block_q=bq, block_k=bk))
             try:
                 dt = timeit(f1, (qf, kf, vf))
-                print(f"N={n} flat-stream bq={bq:5d} bk={bk:5d}  "
+                print(f"N={n} flat bq={bq:5d} bk={bk:5d} ik={inner:4d}  "
                       f"{dt*1e3:8.2f} ms  {flops/dt/1e12:6.1f} TF/s",
                       flush=True)
             except Exception as e:
-                print(f"N={n} flat-stream bq={bq:5d} bk={bk:5d}  FAIL "
+                print(f"N={n} flat bq={bq:5d} bk={bk:5d} ik={inner:4d}  FAIL "
                       f"{type(e).__name__}: {str(e)[:140]}", flush=True)
+        os.environ["VITSLAM_FLAT_INNER_K"] = "0"
 
 
 if __name__ == "__main__":

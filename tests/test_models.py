@@ -167,3 +167,42 @@ class TestAlignmentHead:
             rngs={"dropout": jax.random.PRNGKey(1)},
         )
         assert np.isfinite(np.asarray(out1[0])).all()
+
+
+class TestTokenMergedGlobalAttention:
+    """Opt-in KV-compressed global attention (models/aggregator.py
+    merge_pool/merge_stride): anchors keep full K/V, non-anchors pool.
+    With stride 1 every frame is an anchor, so the merged path must be
+    numerically IDENTICAL to exact attention (same token set, same order)
+    — this pins the kv plumbing (shared qkv projection, per-set RoPE
+    cache). A real merge config must change only what tokens attend to."""
+
+    def _encode(self, **merge):
+        from vitslam_tpu.models import PointAlignedVGGT
+        from vitslam_tpu.utils.testing import (
+            make_synthetic_batch, tiny_model_kwargs,
+        )
+
+        kw = tiny_model_kwargs(enable_depth=False)
+        model = PointAlignedVGGT(**kw, **merge)
+        batch = make_synthetic_batch(B=1, N=6, H=28, W=42, seed=5)
+        images = jnp.asarray(batch["images"])
+        params = PointAlignedVGGT(**kw).init(
+            jax.random.PRNGKey(0), images, 1)
+        return model.apply(params, images, method=model.encode_chunks)
+
+    def test_all_anchor_merge_is_exact(self):
+        exact = self._encode()
+        merged = self._encode(global_merge_pool=2, global_merge_stride=1)
+        for k in exact:
+            np.testing.assert_allclose(
+                np.asarray(merged[k], np.float32),
+                np.asarray(exact[k], np.float32), atol=1e-5, err_msg=k)
+
+    def test_merged_shapes_and_finite(self):
+        exact = self._encode()
+        merged = self._encode(global_merge_pool=2, global_merge_stride=3)
+        for k in exact:
+            assert merged[k].shape == exact[k].shape, k
+            assert bool(jnp.all(jnp.isfinite(
+                jnp.asarray(merged[k], jnp.float32)))), k

@@ -54,3 +54,64 @@ def test_mesh_sharded_encode_tail_group():
         np.testing.assert_allclose(
             np.asarray(out_m[k]), np.asarray(out_s[k]), atol=1e-4, rtol=1e-3,
             err_msg=k)
+
+
+class TestSequenceParallel:
+    """SURVEY §5.7 sequence parallelism: the chunk frame axis sharded over
+    a mesh axis, global attention all-gathering K/V per layer — numerics
+    must equal the single-device encode exactly (same kernels; the gather
+    only changes data placement)."""
+
+    def _models(self, n_axis):
+        from vitslam_tpu.models import PointAlignedVGGT
+
+        kw = tiny_model_kwargs(enable_depth=True)
+        kw.pop("align_embed_dim", None)
+        sp = PointAlignedVGGT(**kw, seq_axis="model")
+        ref = PointAlignedVGGT(**kw)
+        return sp, ref
+
+    def test_sp_encode_matches_unsharded(self):
+        from vitslam_tpu.parallel import make_mesh, sequence_parallel_encode
+
+        n = 8
+        mesh = make_mesh(n_data=1, n_model=n)
+        sp_model, ref_model = self._models(n)
+        batch = make_synthetic_batch(B=1, N=n, H=28, W=42, seed=7)
+        images = jnp.asarray(batch["images"])
+
+        params = ref_model.init(jax.random.PRNGKey(0), images, 1)
+        raw_ref = ref_model.apply(params, images,
+                                  method=ref_model.encode_chunks)
+        raw_sp = sequence_parallel_encode(sp_model, params, images, mesh,
+                                          axis="model")
+        assert set(raw_sp) == set(raw_ref)
+        for k in raw_ref:
+            np.testing.assert_allclose(
+                np.asarray(raw_sp[k], np.float32),
+                np.asarray(raw_ref[k], np.float32),
+                atol=2e-4, rtol=1e-3, err_msg=k)
+
+    def test_sp_first_frame_token_variant(self):
+        """The global-frame-0 camera/register token variant must follow the
+        GLOBAL index under sharding: only the device holding frame 0 uses
+        variant 0 (aggregator.expand_frame_tokens frame_offset)."""
+        from vitslam_tpu.models.aggregator import expand_frame_tokens
+
+        param = jnp.asarray(np.stack([np.full((1, 4), 1.0),
+                                      np.full((1, 4), 2.0)]), jnp.float32)
+        t0 = expand_frame_tokens(param, 1, 2, frame_offset=0)
+        t1 = expand_frame_tokens(param, 1, 2, frame_offset=2)
+        np.testing.assert_allclose(np.asarray(t0)[:, 0, 0], [1.0, 2.0])
+        np.testing.assert_allclose(np.asarray(t1)[:, 0, 0], [2.0, 2.0])
+
+    def test_sp_rejects_indivisible(self):
+        from vitslam_tpu.parallel import make_mesh, sequence_parallel_encode
+
+        mesh = make_mesh(n_data=1, n_model=8)
+        sp_model, ref_model = self._models(8)
+        images = jnp.asarray(
+            make_synthetic_batch(B=1, N=6, H=28, W=42)["images"])
+        params = ref_model.init(jax.random.PRNGKey(0), images, 1)
+        with pytest.raises(ValueError, match="pad the chunk"):
+            sequence_parallel_encode(sp_model, params, images, mesh)

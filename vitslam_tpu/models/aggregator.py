@@ -44,15 +44,21 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def expand_frame_tokens(param: jax.Array, B: int, S: int) -> jax.Array:
-    """Expand a (2, K, C) learned token param into (B*S, K, C) where frame 0
-    uses variant 0 and frames 1..S-1 use variant 1.
+def expand_frame_tokens(param: jax.Array, B: int, S: int,
+                        frame_offset=0) -> jax.Array:
+    """Expand a (2, K, C) learned token param into (B*S, K, C) where the
+    GLOBAL frame 0 uses variant 0 and all later frames use variant 1.
 
-    Behavior parity with the reference's slice_expand_and_flatten
-    (aligned_vggt/heads/alignment_head.py:543-567)."""
-    first = jnp.broadcast_to(param[0][None], (B, 1) + param.shape[1:])
-    rest = jnp.broadcast_to(param[1][None, None], (B, S - 1) + param.shape[1:])
-    tokens = jnp.concatenate([first, rest], axis=1)  # (B, S, K, C)
+    ``frame_offset`` is the global index of local frame 0 (nonzero only
+    under sequence parallelism, where each device holds an S-frame slice
+    of the chunk). Behavior parity with the reference's
+    slice_expand_and_flatten (aligned_vggt/heads/alignment_head.py:543-567)."""
+    is_first = (jnp.arange(S) + frame_offset) == 0  # (S,)
+    tokens = jnp.where(
+        is_first[None, :, None, None], param[0][None, None],
+        param[1][None, None],
+    )  # (1, S, K, C)
+    tokens = jnp.broadcast_to(tokens, (B, S) + param.shape[1:])
     return tokens.reshape(B * S, *param.shape[1:])
 
 
@@ -169,12 +175,55 @@ class _AggPairScan(nn.Module):
     depth: int
     B: int
     S: int
+    seq_axis: str | None = None
+    merge_pool: int = 0
+    merge_stride: int = 1
+    gh: int = 0
+    gw: int = 0
+    patch_start: int = 0
+
+    def _merged_kv(self, x):
+        """KV-compressed token set for global attention: anchor frames
+        (every ``merge_stride``-th, incl. frame 0) contribute ALL their
+        tokens; other frames contribute specials + ``merge_pool`` x
+        ``merge_pool`` average-pooled patch tokens (edge-replicated to a
+        pool multiple). Queries stay full resolution, so no unmerge is
+        needed — only what tokens attend TO is approximated
+        (FastVGGT/FlashVGGT-family KV compression, PAPERS.md; opt-in)."""
+        B, S, C = self.B, self.S, self.dim
+        T = x.shape[1]
+        psi = self.patch_start
+        pw = self.merge_pool
+        x_bs = x.reshape(B, S, T, C)
+        anchors = tuple(range(0, S, self.merge_stride))
+        non = tuple(i for i in range(S) if i % self.merge_stride)
+        anchor_tok = x_bs[:, anchors].reshape(B, len(anchors) * T, C)
+        if not non:
+            return anchor_tok
+        xn = x_bs[:, non]
+        spec = xn[:, :, :psi]
+        patches = xn[:, :, psi:].reshape(B * len(non), self.gh, self.gw, C)
+        patches = jnp.pad(
+            patches,
+            ((0, 0), (0, (-self.gh) % pw), (0, (-self.gw) % pw), (0, 0)),
+            mode="edge",
+        )
+        pooled = nn.avg_pool(patches, (pw, pw), (pw, pw), padding="VALID")
+        P2 = pooled.shape[1] * pooled.shape[2]
+        pooled = pooled.reshape(B, len(non), P2, C)
+        non_tok = jnp.concatenate([spec, pooled], axis=2).reshape(
+            B, len(non) * (psi + P2), C)
+        return jnp.concatenate([anchor_tok, non_tok], axis=1)
 
     @nn.compact
     def __call__(self, carry, layer_idx):
         # RoPE caches ride the carry as raw cos/sin arrays (scan carries
         # must be arrays); nsplit=2 is static
-        x, taps, cos_f, sin_f, cos_g, sin_g = carry
+        merging = self.merge_pool > 1 and self.S > self.merge_stride
+        if merging:
+            x, taps, cos_f, sin_f, cos_g, sin_g, cos_kv, sin_kv = carry
+        else:
+            x, taps, cos_f, sin_f, cos_g, sin_g = carry
         pos_frame = (cos_f, sin_f, 2)
         pos_global = (cos_g, sin_g, 2)
         B, S = self.B, self.S
@@ -190,12 +239,16 @@ class _AggPairScan(nn.Module):
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=self.qk_norm, init_values=self.init_values, rope="2d",
             rope_base=self.rope_base, dtype=self.dtype, quant=True,
-            name="global_block",
+            seq_axis=self.seq_axis, name="global_block",
         )
         x = frame_blk(x, pos_frame)                       # (B*S, T, C)
         frame_out = x
         xg = x.reshape(B, S * T, self.dim)
-        xg = global_blk(xg, pos_global)                   # (B, S*T, C)
+        if merging:
+            xg = global_blk(xg, pos_global, kv=self._merged_kv(x),
+                            pos_kv=(cos_kv, sin_kv, 2))   # (B, S*T, C)
+        else:
+            xg = global_blk(xg, pos_global)               # (B, S*T, C)
         x = xg.reshape(B * S, T, self.dim)
 
         concat = jnp.concatenate([frame_out, x], axis=-1).reshape(
@@ -212,6 +265,8 @@ class _AggPairScan(nn.Module):
         taps = jax.lax.dynamic_update_slice_in_dim(
             taps, concat[None], slot_lut[layer_idx], axis=0
         )
+        if merging:
+            return (x, taps, cos_f, sin_f, cos_g, sin_g, cos_kv, sin_kv), None
         return (x, taps, cos_f, sin_f, cos_g, sin_g), None
 
 
@@ -231,6 +286,16 @@ class Aggregator(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     intermediate_layers: Sequence[int] = (4, 11, 17, 23)
+    # sequence parallelism: the frame axis S is sharded over this named
+    # mesh axis (callers wrap apply in shard_map); frame attention, patch
+    # embedding and MLPs are frame-local, the global blocks all-gather K/V
+    seq_axis: str | None = None
+    # KV-compressed global attention (opt-in approximation for the 75-frame
+    # large-chunk variants): 0/1 = exact; pool p > 1 average-pools the
+    # non-anchor frames' patch K/V p x p, anchors (every merge_stride-th
+    # frame) stay full. Queries are never reduced.
+    merge_pool: int = 0
+    merge_stride: int = 1
 
     @property
     def patch_start_idx(self) -> int:
@@ -282,8 +347,10 @@ class Aggregator(nn.Module):
             "register_token", nn.initializers.normal(stddev=1e-6),
             (2, self.num_register_tokens, self.embed_dim), jnp.float32,
         )
-        cam = expand_frame_tokens(camera_token, B, S).astype(self.dtype)
-        reg = expand_frame_tokens(register_token, B, S).astype(self.dtype)
+        frame_offset = (jax.lax.axis_index(self.seq_axis) * S
+                        if self.seq_axis else 0)
+        cam = expand_frame_tokens(camera_token, B, S, frame_offset).astype(self.dtype)
+        reg = expand_frame_tokens(register_token, B, S, frame_offset).astype(self.dtype)
         x = jnp.concatenate([cam, reg, patch_tokens], axis=1)  # (B*S, T, C)
         T = x.shape[1]
 
@@ -304,6 +371,44 @@ class Aggregator(nn.Module):
         cos_f, sin_f = tiled(cos_f), tiled(sin_f)
         cos_g, sin_g = tiled(cos_g), tiled(sin_g)
 
+        merging = (self.merge_pool > 1 and self.seq_axis is None
+                   and S > self.merge_stride)
+        if merging:
+            # RoPE cache for the merged KV set: anchor frames reuse the
+            # full per-frame grid positions; pooled tokens sit at the MEAN
+            # position of their pooling window (same edge-replicated
+            # pooling as the tokens, so position matches content)
+            pw = self.merge_pool
+            anchors = tuple(range(0, S, self.merge_stride))
+            n_non = S - len(anchors)
+            rows = jnp.broadcast_to(
+                jnp.arange(1, gh + 1, dtype=jnp.float32)[:, None], (gh, gw))
+            cols = jnp.broadcast_to(
+                jnp.arange(1, gw + 1, dtype=jnp.float32)[None, :], (gh, gw))
+            grid = jnp.stack([rows, cols], axis=-1)[None]  # (1, gh, gw, 2)
+            grid = jnp.pad(
+                grid, ((0, 0), (0, (-gh) % pw), (0, (-gw) % pw), (0, 0)),
+                mode="edge")
+            pooled_pos = nn.avg_pool(grid, (pw, pw), (pw, pw),
+                                     padding="VALID")
+            pooled_pos = pooled_pos.reshape(1, -1, 2)
+            frame_pos = patch_grid_positions(
+                1, gh, gw, self.patch_start_idx).astype(jnp.float32)
+            kv_pos_non = jnp.concatenate(
+                [jnp.zeros((1, self.patch_start_idx, 2), jnp.float32),
+                 pooled_pos], axis=1)
+            cos_a, sin_a, _ = rope_cache_2d(frame_pos, head_dim,
+                                            self.rope_base)
+            cos_p, sin_p, _ = rope_cache_2d(kv_pos_non, head_dim,
+                                            self.rope_base)
+            cos_kv = jnp.concatenate(
+                [jnp.tile(cos_a, (1, len(anchors), 1)),
+                 jnp.tile(cos_p, (1, n_non, 1))], axis=1)
+            sin_kv = jnp.concatenate(
+                [jnp.tile(sin_a, (1, len(anchors), 1)),
+                 jnp.tile(sin_p, (1, n_non, 1))], axis=1)
+            cos_kv, sin_kv = tiled(cos_kv), tiled(sin_kv)
+
         unique_taps = sorted(set(self.intermediate_layers))
         # +1 garbage slot: non-tap layers' concat lands there (slot LUT)
         taps0 = jnp.zeros((len(unique_taps) + 1, B, S, T, 2 * self.embed_dim),
@@ -321,9 +426,13 @@ class Aggregator(nn.Module):
             unroll=self.depth if unroll >= self.depth else unroll,
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.qk_norm,
           self.init_values, self.rope_base, self.dtype, self.remat,
-          tuple(self.intermediate_layers), self.depth, B, S, name="layers")
-        (x, taps, _, _, _, _), _ = scan(
-            (x, taps0, cos_f, sin_f, cos_g, sin_g), jnp.arange(self.depth)
-        )
+          tuple(self.intermediate_layers), self.depth, B, S,
+          self.seq_axis, self.merge_pool if merging else 0,
+          self.merge_stride, gh, gw, self.patch_start_idx, name="layers")
+        carry0 = (x, taps0, cos_f, sin_f, cos_g, sin_g)
+        if merging:
+            carry0 = carry0 + (cos_kv, sin_kv)
+        out_carry, _ = scan(carry0, jnp.arange(self.depth))
+        x, taps = out_carry[0], out_carry[1]
         tap_of = {tl: taps[k] for k, tl in enumerate(unique_taps)}
         return [tap_of[tl] for tl in self.intermediate_layers], self.patch_start_idx

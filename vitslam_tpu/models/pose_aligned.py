@@ -53,6 +53,9 @@ class PoseAlignedVGGT(nn.Module):
     dpt_frames_chunk: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    seq_axis: str | None = None  # sequence-parallel encode (VGGTCore)
+    global_merge_pool: int = 0   # KV-compressed global attention (opt-in)
+    global_merge_stride: int = 1
 
     def setup(self):
         self.core = VGGTCore(
@@ -64,7 +67,9 @@ class PoseAlignedVGGT(nn.Module):
             enable_camera=self.enable_camera, enable_depth=self.enable_depth,
             enable_point=self.enable_point, enable_track=self.enable_track,
             dpt_frames_chunk=self.dpt_frames_chunk,
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, seq_axis=self.seq_axis,
+            global_merge_pool=self.global_merge_pool,
+            global_merge_stride=self.global_merge_stride,
         )
 
     def embed_frames(self, images: jax.Array):

@@ -50,12 +50,26 @@ def small_feature_aligned(**overrides) -> FeatureAlignedVGGT:
     )
 
 
+def _token_merge_overrides() -> dict:
+    """Opt-in KV-compressed global attention for the large-chunk variants:
+    VITSLAM_TOKEN_MERGE="<pool>,<anchor_stride>" (e.g. "2,5"). Off by
+    default — it is an approximation (see models/aggregator.py)."""
+    import os
+
+    env = os.environ.get("VITSLAM_TOKEN_MERGE", "")
+    if not env:
+        return {}
+    pool, stride = (env.split(",") + ["1"])[:2]
+    return dict(global_merge_pool=int(pool), global_merge_stride=int(stride))
+
+
 def flagship_point_aligned(**overrides) -> PointAlignedVGGT:
     # production setting is chunk width 75 (reference README.md:130 /
     # test_pointAlignedWrappedVGGT_vkitti.yaml): decode the DPT heads <=15
     # frames at a time so full-res conv intermediates fit HBM
     kw = dict(FLAGSHIP)
     kw.update(dict(enable_depth=False, dpt_frames_chunk=16))
+    kw.update(_token_merge_overrides())
     kw.update(overrides)
     return PointAlignedVGGT(**kw)
 
@@ -63,5 +77,6 @@ def flagship_point_aligned(**overrides) -> PointAlignedVGGT:
 def flagship_pose_aligned(**overrides) -> PoseAlignedVGGT:
     kw = dict(FLAGSHIP)
     kw.update(dict(enable_point=False, dpt_frames_chunk=16))
+    kw.update(_token_merge_overrides())
     kw.update(overrides)
     return PoseAlignedVGGT(**kw)

@@ -45,6 +45,16 @@ class VGGTCore(nn.Module):
     camera_trunk_depth: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # sequence parallelism (SURVEY §5.7): when set, __call__/encode expect
+    # to run inside shard_map with the frame axis S sharded over this named
+    # mesh axis. Patch embed / frame attention / MLPs / DPT decode are
+    # frame-local; global attention all-gathers prepped K/V per layer; the
+    # camera head (which attends ACROSS frames) gathers its S camera tokens,
+    # runs replicated, and returns the local frame slice.
+    seq_axis: str | None = None
+    # KV-compressed global attention (opt-in, see models/aggregator.py)
+    global_merge_pool: int = 0
+    global_merge_stride: int = 1
 
     def setup(self):
         self.aggregator = Aggregator(
@@ -54,7 +64,9 @@ class VGGTCore(nn.Module):
             patch_embed_depth=self.patch_embed_depth,
             patch_embed_heads=self.patch_embed_heads,
             intermediate_layers=tuple(self.intermediate_layers),
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, seq_axis=self.seq_axis,
+            merge_pool=self.global_merge_pool,
+            merge_stride=self.global_merge_stride,
         )
         dim_in = 2 * self.embed_dim
         if self.enable_camera:
@@ -94,6 +106,18 @@ class VGGTCore(nn.Module):
     def decode_camera(self, taps) -> list[jax.Array]:
         """-> list over refinement iterations of (B, S, 9) fp32 encodings."""
         camera_tokens = taps[-1][:, :, 0, :]
+        if self.seq_axis is not None:
+            # the camera trunk attends across frames: gather all S camera
+            # tokens (tiny: S x 2C), run the head replicated, hand back the
+            # local frame slice so every output of the sharded encode stays
+            # sharded on S
+            S_local = camera_tokens.shape[1]
+            camera_tokens = jax.lax.all_gather(
+                camera_tokens, self.seq_axis, axis=1, tiled=True)
+            idx = jax.lax.axis_index(self.seq_axis)
+            encs = self.camera_head(camera_tokens)
+            return [jax.lax.dynamic_slice_in_dim(e, idx * S_local, S_local,
+                                                 axis=1) for e in encs]
         return self.camera_head(camera_tokens)
 
     def decode_depth(self, taps, images, patch_start_idx):

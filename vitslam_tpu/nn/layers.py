@@ -70,9 +70,10 @@ def _is_rope_cache(pos) -> bool:
 
 
 # below this many tokens XLA's fused small attention beats a kernel launch;
-# above the max, the fused kernel would stream K and recompute the in-kernel
-# LN/RoPE prep once per q block (measured: 75/30 point-aligned 20.6 -> 15.4
-# FPS) — the unfused flash path wins there
+# above the max, in-kernel LN/RoPE prep would be recomputed once per q
+# block when streaming K (measured: 75/30 point-aligned 20.6 -> 15.4 FPS),
+# so the large-N path preps ONCE in the flat layout and streams through
+# ops.fused_attention.flat_flash_attention instead (still zero relayouts)
 _FUSED_MIN_TOKENS = 384
 _FUSED_MAX_TOKENS = 4096
 
@@ -239,23 +240,40 @@ class Attention(nn.Module):
     rope_base: float = 100.0
     dtype: Dtype = jnp.float32
     quant: bool = False
+    # named mesh axis for sequence parallelism: tokens are sharded over
+    # this axis (must be called inside shard_map); K/V are all-gathered
+    # before attention so each device computes exact attention for its
+    # local queries (SURVEY §5.7's S*P-axis sharding for the 75-frame
+    # large-chunk variants)
+    seq_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, pos=None):
+    def __call__(self, x, pos=None, kv=None, pos_kv=None):
+        """Self-attention over ``x``; with ``kv`` given, queries come from
+        ``x`` and keys/values from ``kv`` through the SAME qkv projection
+        (KV-compressed global attention: the aggregator's token-merged
+        mode feeds anchor-full + pooled tokens here). ``pos_kv`` is the
+        RoPE cache for the kv token set."""
         B, N, C = x.shape
         h = self.num_heads
         dh = self.dim // h
-        qkv = QuantizableDense(3 * self.dim, use_bias=self.qkv_bias,
-                               dtype=self.dtype, quant=self.quant,
-                               name="qkv")(x)
+        qkv_dense = QuantizableDense(3 * self.dim, use_bias=self.qkv_bias,
+                                     dtype=self.dtype, quant=self.quant,
+                                     name="qkv")
+        qkv = qkv_dense(x)
+        qkv_k = qkv_dense(kv) if kv is not None else qkv
+        if pos_kv is None:
+            pos_kv = pos
         static_max = None
-        fast = self.qk_norm and _is_rope_cache(pos)
+        sp = self.seq_axis is not None
+        fast = self.qk_norm and _is_rope_cache(pos) \
+            and (kv is None or _is_rope_cache(pos_kv))
         # fully-fused path: qkv-packed Pallas kernel (per-head LN + RoPE +
         # attention in one kernel, no relayouts). Taken on TPU when the
         # RoPE cache form is available (or neither LN nor RoPE is needed).
         fusable = fast or (not self.qk_norm and self.rope is None
                            and pos is None)
-        if (fusable and _fused_attention_enabled()
+        if (fusable and not sp and kv is None and _fused_attention_enabled()
                 and _FUSED_MIN_TOKENS <= N <= _FUSED_MAX_TOKENS):
             from ..ops.fused_attention import fused_qkv_attention
 
@@ -278,15 +296,37 @@ class Attention(nn.Module):
             qn = HeadLayerNorm(h, dh, dtype=self.dtype, name="q_norm")
             kn = HeadLayerNorm(h, dh, dtype=self.dtype, name="k_norm")
             cos, sin, nsplit = pos
+            cos_k, sin_k, nsplit_k = pos_kv
             qf = apply_rope_flat(qn(qkv[..., :C], flat=True), cos, sin, h, nsplit)
-            kf = apply_rope_flat(kn(qkv[..., C:2 * C], flat=True), cos, sin, h, nsplit)
-            q = qf.reshape(B, N, h, dh).swapaxes(1, 2)
-            k = kf.reshape(B, N, h, dh).swapaxes(1, 2)
-            v = qkv[..., 2 * C:].reshape(B, N, h, dh).swapaxes(1, 2)
+            kf = apply_rope_flat(kn(qkv_k[..., C:2 * C], flat=True), cos_k,
+                                 sin_k, h, nsplit_k)
+            vf = qkv_k[..., 2 * C:]
             static_max = _qk_shift(qn, kn, dh)
+            if sp:
+                # sequence parallel: queries stay local, K/V gathered once
+                # per layer (prepped, so the gather also amortizes LN/RoPE)
+                kf = jax.lax.all_gather(kf, self.seq_axis, axis=1, tiled=True)
+                vf = jax.lax.all_gather(vf, self.seq_axis, axis=1, tiled=True)
+            nk = kf.shape[1]
+            if _fused_attention_enabled() and nk > _FUSED_MAX_TOKENS:
+                # large-N path: prep ran ONCE above in the flat layout;
+                # stream K through the flat-layout kernel — no (B,H,N,dh)
+                # relayout on either side, no per-q-block prep recompute
+                from ..ops.fused_attention import flat_flash_attention
+
+                out = flat_flash_attention(qf, kf, vf, num_heads=h,
+                                           static_max=static_max)
+                return QuantizableDense(self.dim, use_bias=self.proj_bias,
+                                        dtype=self.dtype, quant=self.quant,
+                                        name="proj")(out)
+            q = qf.reshape(B, N, h, dh).swapaxes(1, 2)
+            k = kf.reshape(B, nk, h, dh).swapaxes(1, 2)
+            v = vf.reshape(B, nk, h, dh).swapaxes(1, 2)
         else:
-            qkv = qkv.reshape(B, N, 3, h, dh)
-            q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, h, dh)
+            nk_in = qkv_k.shape[1]
+            q = qkv[..., :C].reshape(B, N, h, dh)
+            k = qkv_k[..., C:2 * C].reshape(B, nk_in, h, dh)
+            v = qkv_k[..., 2 * C:].reshape(B, nk_in, h, dh)
             q = jnp.swapaxes(q, 1, 2)  # (B, h, N, dh)
             k = jnp.swapaxes(k, 1, 2)
             v = jnp.swapaxes(v, 1, 2)
@@ -298,7 +338,10 @@ class Attention(nn.Module):
                 # qk-norm bounds the logits -> the flash kernel can use a
                 # fixed softmax shift and skip online max tracking
                 static_max = _qk_shift(qn, kn, dh)
-            q, k = _apply_rope(q, k, pos, pos, self.rope, self.rope_base)
+            q, k = _apply_rope(q, k, pos, pos_kv, self.rope, self.rope_base)
+            if sp:
+                k = jax.lax.all_gather(k, self.seq_axis, axis=2, tiled=True)
+                v = jax.lax.all_gather(v, self.seq_axis, axis=2, tiled=True)
         out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return QuantizableDense(self.dim, use_bias=self.proj_bias,
@@ -362,16 +405,20 @@ class Block(nn.Module):
     rope_base: float = 100.0
     dtype: Dtype = jnp.float32
     quant: bool = False
+    seq_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, pos=None):
+    def __call__(self, x, pos=None, kv=None, pos_kv=None):
         ls = (lambda name: LayerScale(self.dim, self.init_values, name=name)) \
             if self.init_values is not None else (lambda name: (lambda t: t))
         attn = Attention(self.dim, self.num_heads, self.qkv_bias, self.proj_bias,
                          self.qk_norm, self.rope, self.rope_base, self.dtype,
-                         quant=self.quant, name="attn")
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
-        x = x + ls("ls1")(attn(y, pos))
+                         quant=self.quant, seq_axis=self.seq_axis, name="attn")
+        norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                             name="norm1")
+        y = norm1(x)
+        kv_n = norm1(kv) if kv is not None else None
+        x = x + ls("ls1")(attn(y, pos, kv=kv_n, pos_kv=pos_kv))
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         x = x + ls("ls2")(Mlp(int(self.dim * self.mlp_ratio), self.dim,
                               dtype=self.dtype, quant=self.quant,

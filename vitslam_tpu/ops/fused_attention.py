@@ -36,6 +36,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -369,35 +370,51 @@ def _flat_stream_kernel(
     k_tile = k_ref[0]
     v_tile = v_ref[0]
     shift = smax_ref[0]
+    bq = q_tile.shape[0]
+    bk = k_tile.shape[0]
+    inner = int(os.environ.get("VITSLAM_FLAT_INNER_K", "0")) or bk
     for g in range(G):
         sl = slice(g * dh, (g + 1) * dh)
-        s = jax.lax.dot_general(
-            q_tile[:, sl], k_tile[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, block_k) log2-domain logits (scale pre-folded)
-        p = jnp.exp2(s - shift).astype(jnp.bfloat16)
-        v = v_tile[:, sl]
-        ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p, jnp.concatenate([v, ones], axis=1), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        l_scratch[:, g:g + 1] = l_scratch[:, g:g + 1] + pv[:, -1:]
-        acc_scratch[:, sl] = acc_scratch[:, sl] + pv[:, :-1]
+        for k0 in range(0, bk, inner):
+            ks = slice(k0, k0 + inner)
+            s = jax.lax.dot_general(
+                q_tile[:, sl], k_tile[ks, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, inner) log2-domain logits (scale pre-folded)
+            p = jnp.exp2(s - shift).astype(jnp.bfloat16)
+            v = v_tile[ks, sl]
+            ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p, jnp.concatenate([v, ones], axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_scratch[:, g:g + 1] = l_scratch[:, g:g + 1] + pv[:, -1:]
+            acc_scratch[:, sl] = acc_scratch[:, sl] + pv[:, :-1]
 
     @pl.when(kb == nkb - 1)
     def _finalize():
+        # per-sub-head denominator broadcast via a constant 0/1 matmul
+        # (NO lane concat/slice: a G-slice concat finalize measured ~120us
+        # per (batch, q-block) boundary — the whole 31k-token shape's gap
+        # to the 103k shape's TF/s)
         pad_mass = n_pad_keys * jnp.exp2(-shift)
-        parts = [
-            acc_scratch[:, g * dh:(g + 1) * dh]
-            / jnp.maximum(l_scratch[:, g:g + 1] - pad_mass, 1e-30)
-            for g in range(G)
-        ]
-        o_ref[0] = jnp.concatenate(parts, axis=1).astype(o_ref.dtype)
+        rinv = 1.0 / jnp.maximum(l_scratch[:] - pad_mass, 1e-30)  # (bq, G)
+        # (G, G*dh) 0/1 lane-group spread, built from iota (pallas kernels
+        # cannot capture host constants)
+        row = jax.lax.broadcasted_iota(jnp.int32, (G, G * dh), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (G, G * dh), 1)
+        spread = (col // dh == row).astype(jnp.float32)
+        dinv = jax.lax.dot_general(
+            rinv, spread, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (acc_scratch[:] * dinv).astype(o_ref.dtype)
 
 
 def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
-    B, N, C = q.shape
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
     h = num_heads
     dh = C // h
     G = max(1, 128 // dh)
@@ -406,18 +423,20 @@ def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
         G //= 2
     h2 = h // G
     gd = G * dh
-    nq_pad = _round_up(N, block_q)
-    nk_pad = _round_up(N, block_k)
-    if nq_pad != N:
-        q = jnp.pad(q, ((0, 0), (0, nq_pad - N), (0, 0)))
-    if nk_pad != N:
-        k = jnp.pad(k, ((0, 0), (0, nk_pad - N), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, nk_pad - N), (0, 0)))
+    block_q = min(block_q, _round_up(Nq, 128))
+    block_k = min(block_k, _round_up(Nk, 128))
+    nq_pad = _round_up(Nq, block_q)
+    nk_pad = _round_up(Nk, block_k)
+    if nq_pad != Nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad - Nq), (0, 0)))
+    if nk_pad != Nk:
+        k = jnp.pad(k, ((0, 0), (0, nk_pad - Nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_pad - Nk), (0, 0)))
 
     grid = (B * h2, nq_pad // block_q, nk_pad // block_k)
     out = pl.pallas_call(
         functools.partial(
-            _flat_stream_kernel, n_pad_keys=nk_pad - N, dh=dh,
+            _flat_stream_kernel, n_pad_keys=nk_pad - Nk, dh=dh,
             heads_per_block=G,
         ),
         grid=grid,
@@ -438,17 +457,17 @@ def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(smax, q, k, v)
-    return out[:, :N]
+    return out[:, :Nq]
 
 
 def _flat_reference(q, k, v, *, num_heads):
     """Plain-XLA math of _flat_stream_kernel (CPU fallback + VJP recompute).
     q is pre-scaled by scale*log2(e): softmax(q.k / log2(e)) == the kernel's
     exp2-domain softmax."""
-    B, N, C = q.shape
+    B, _, C = q.shape
     h = num_heads
     dh = C // h
-    split = lambda x: x.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+    split = lambda x: x.reshape(B, x.shape[1], h, dh).transpose(0, 2, 1, 3)
     qh, kh, vh = split(q), split(k), split(v)
     s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                    preferred_element_type=jnp.float32)

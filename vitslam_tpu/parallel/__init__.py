@@ -1,3 +1,4 @@
+from .seq import sequence_parallel_encode
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -8,5 +9,5 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding", "make_mesh", "replicate", "shard_batch",
-    "sync_global_devices",
+    "sync_global_devices", "sequence_parallel_encode",
 ]
