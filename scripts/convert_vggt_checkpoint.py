@@ -97,7 +97,18 @@ VGGT_KEY_RULES: list[tuple[str, str | None]] = [
     (r"^camera_head\.poseLN_modulation\.1\.(.*)$",
      r"params.core.camera_head.modulation.\1"),
     (r"^camera_head\.(.*)$", r"params.core.camera_head.\1"),
-    (r"^track_head\.(.*)$", None),  # disabled in every reference config
+    # track head (vggt/heads/track_head.py + track_modules/*): torch
+    # Sequential/ModuleList indices flatten to our _N module names; the
+    # DPT feature_extractor is handled in translate_key (same rules as
+    # depth/point heads). Disabled in every reference config, but the
+    # VGGT-1B checkpoint ships trained track weights — map them all.
+    (r"^track_head\.tracker\.updateformer\.(time_blocks|space_virtual_blocks"
+     r"|space_point2virtual_blocks|space_virtual2point_blocks)\.(\d+)\.(.*)$",
+     r"params.core.track_head.tracker.updateformer.\1_\2.\3"),
+    (r"^track_head\.tracker\.(ffeat_updater|vis_predictor|conf_predictor)"
+     r"\.0\.(.*)$",
+     r"params.core.track_head.tracker.\1_0.\2"),
+    (r"^track_head\.tracker\.(.*)$", r"params.core.track_head.tracker.\1"),
     (r"^alignment_head\.(.*)$", r"params.alignment_head.\1"),
 ]
 
@@ -130,7 +141,8 @@ LEAF_RENAMES = {
 def translate_key(key: str) -> str | None:
     key = key.removeprefix("model.")
     out = None
-    m = re.match(r"^(depth_head|point_head)\.(.*)$", key)
+    m = re.match(r"^(depth_head|point_head|track_head\.feature_extractor)\.(.*)$",
+                 key)
     if m:
         rest = _translate_dpt(m.group(2))
         if rest is None:
@@ -174,6 +186,8 @@ def main():
     ap.add_argument("--model", default="feature_aligned",
                     choices=["feature_aligned", "point_aligned", "pose_aligned"])
     ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--no-track", action="store_true",
+                    help="skip the track_head weights (smaller output)")
     args = ap.parse_args()
 
     import jax
@@ -196,6 +210,23 @@ def main():
     template = jax.jit(model.init, static_argnums=(2,))(
         jax.random.PRNGKey(0), sample, 1
     )
+    if not args.no_track:
+        # graft a full-size TrackHead param tree under params.core so the
+        # checkpoint's track_head.* keys have template slots: the reference
+        # instantiates VGGT's TrackHead in every model even though every
+        # shipped config disables it (featureAligned_vggt.py:30), and
+        # VGGT-1B ships trained track weights — conversion must be lossless.
+        # Track param shapes are resolution-independent, so a small spatial
+        # grid suffices for init (corr pyramid needs fmap >= 2^(levels-1)).
+        from vitslam_tpu.models import TrackHead
+
+        th = TrackHead(dim_in=2 * 1024)
+        gh = gw = 10
+        taps = [jnp.zeros((1, 1, 5 + gh * gw, 2048), jnp.bfloat16)] * 4
+        timgs = jnp.zeros((1, 1, 3, gh * 14, gw * 14), jnp.bfloat16)
+        tparams = th.init(jax.random.PRNGKey(0), taps, timgs, 5,
+                          jnp.zeros((1, 1, 2), jnp.float32))
+        template["params"]["core"]["track_head"] = tparams["params"]
 
     sd = load_torch_state_dict(args.torch_ckpt)
     mapped, dropped = {}, []

@@ -152,8 +152,23 @@ INVERSE_RULES = [
      r"\1.scratch.output_conv2.0.\2"),
     (r"^params\.core\.(depth_head|point_head)\.head_out\.(.*)$",
      r"\1.scratch.output_conv2.2.\2"),
+    # track head: the tracker's torch ModuleList/Sequential indices are our
+    # flattened _N module names; the DPT feature_extractor reuses the DPT
+    # rules via _DPT_HEAD_RE below
+    (r"^params\.core\.track_head\.tracker\.updateformer\.(time_blocks"
+     r"|space_virtual_blocks|space_point2virtual_blocks"
+     r"|space_virtual2point_blocks)_(\d+)\.(.*)$",
+     r"track_head.tracker.updateformer.\1.\2.\3"),
+    (r"^params\.core\.track_head\.tracker\.(ffeat_updater|vis_predictor"
+     r"|conf_predictor)_0\.(.*)$",
+     r"track_head.tracker.\1.0.\2"),
+    (r"^params\.core\.track_head\.tracker\.(.*)$", r"track_head.tracker.\1"),
     (r"^params\.alignment_head\.(.*)$", r"alignment_head.\1"),
 ]
+
+
+# heads that hold a (possibly feature-only) DPT decoder
+_DPT_HEAD_RE = r"(depth_head|point_head|track_head\.feature_extractor)"
 
 
 def to_vggt_name(our_key: str) -> str:
@@ -161,18 +176,30 @@ def to_vggt_name(our_key: str) -> str:
     if leaf in ("kernel", "scale"):
         leaf = "weight"
     key = f"{head}.{leaf}"
-    m = re.match(r"^params\.core\.(depth_head|point_head)\.scratch_(\d)\.(.*)$", key)
+    m = re.match(rf"^params\.core\.{_DPT_HEAD_RE}\.scratch_(\d)\.(.*)$", key)
     if m:
         return f"{m.group(1)}.scratch.layer{int(m.group(2)) + 1}_rn.{m.group(3)}"
     m = re.match(
-        r"^params\.core\.(depth_head|point_head)\.fusion_(\d)\.rcu([12])\.(.*)$", key)
+        rf"^params\.core\.{_DPT_HEAD_RE}\.fusion_(\d)\.rcu([12])\.(.*)$", key)
     if m:
         return (f"{m.group(1)}.scratch.refinenet{int(m.group(2)) + 1}"
                 f".resConfUnit{m.group(3)}.{m.group(4)}")
     m = re.match(
-        r"^params\.core\.(depth_head|point_head)\.fusion_(\d)\.out_conv\.(.*)$", key)
+        rf"^params\.core\.{_DPT_HEAD_RE}\.fusion_(\d)\.out_conv\.(.*)$", key)
     if m:
         return f"{m.group(1)}.scratch.refinenet{int(m.group(2)) + 1}.out_conv.{m.group(3)}"
+    m = re.match(
+        rf"^params\.core\.{_DPT_HEAD_RE}\.(project_\d|resize_layer_\d"
+        rf"|head_conv1|head_conv2|head_out)\.(.*)$", key)
+    if m and m.group(1) == "track_head.feature_extractor":
+        rest = {"head_conv1": "scratch.output_conv1",
+                "head_conv2": "scratch.output_conv2.0",
+                "head_out": "scratch.output_conv2.2"}.get(m.group(2))
+        if rest is None:
+            mod = m.group(2).replace("project_", "projects.").replace(
+                "resize_layer_", "resize_layers.")
+            rest = mod
+        return f"{m.group(1)}.{rest}.{m.group(3)}"
     for pat, repl in INVERSE_RULES:
         if repl is not None and re.match(pat, key):
             return re.sub(pat, repl, key)
@@ -366,3 +393,158 @@ def test_converted_model_golden_outputs():
             [v.mean(), v.std(), float(v.ravel()[v.size // 2])],
             [mean, std, mid], rtol=2e-3,
             err_msg=f"converted-model output {k} drifted")
+
+
+# ---------------------------------------------------------------------------
+# track head (VERDICT r2 Next #5 / weak #6): the VGGT-1B checkpoint ships
+# trained track weights and the reference instantiates TrackHead in every
+# model (aligned_vggt/models/featureAligned_vggt.py:30) — the converter must
+# round-trip them. Surface reconstructed from the public VGGT/CoTracker-2
+# module code (vggt/heads/track_head.py + track_modules/*), which is not
+# downloadable here.
+# ---------------------------------------------------------------------------
+
+TRACK_UPDATER_DEPTH = 2
+
+
+def _trackblock_keys(prefix, cross=False):
+    attn = "cross_attn" if cross else "attn"
+    mods = [("norm1", ("weight", "bias"))]
+    if cross:
+        mods.append(("norm_context", ("weight", "bias")))
+    mods += [
+        (f"{attn}.to_q", ("weight", "bias")),
+        (f"{attn}.to_kv", ("weight", "bias")),
+        (f"{attn}.to_out", ("weight", "bias")),
+        ("norm2", ("weight", "bias")),
+        ("mlp.fc1", ("weight", "bias")),
+        ("mlp.fc2", ("weight", "bias")),
+    ]
+    return [f"{prefix}{m}.{l}" for m, ls in mods for l in ls]
+
+
+def expected_track_keys(depth=TRACK_UPDATER_DEPTH):
+    # DPT in feature_only mode: everything up to scratch.output_conv1, no
+    # output_conv2 head
+    ks = [k for k in _dpt_keys("track_head.feature_extractor")
+          if "output_conv2" not in k]
+    t = "track_head.tracker."
+    ks += [t + "fmap_norm.weight", t + "fmap_norm.bias",
+           t + "corr_mlp.fc1.weight", t + "corr_mlp.fc1.bias",
+           t + "corr_mlp.fc2.weight", t + "corr_mlp.fc2.bias",
+           t + "query_ref_token"]
+    u = t + "updateformer."
+    ks += [u + "input_transform.weight", u + "input_transform.bias",
+           u + "flow_head.weight", u + "flow_head.bias",
+           u + "virual_tracks"]  # sic — cotracker's original param name
+    for i in range(depth):
+        ks += _trackblock_keys(f"{u}time_blocks.{i}.")
+        ks += _trackblock_keys(f"{u}space_point2virtual_blocks.{i}.", cross=True)
+        ks += _trackblock_keys(f"{u}space_virtual_blocks.{i}.")
+        ks += _trackblock_keys(f"{u}space_virtual2point_blocks.{i}.", cross=True)
+    ks += [t + "ffeat_norm.weight", t + "ffeat_norm.bias",
+           t + "ffeat_updater.0.weight", t + "ffeat_updater.0.bias",
+           t + "vis_predictor.0.weight", t + "vis_predictor.0.bias",
+           t + "conf_predictor.0.weight", t + "conf_predictor.0.bias"]
+    return ks
+
+
+TRACK_EXPECTED_DROPS = {
+    f"track_head.feature_extractor.scratch.refinenet4.resConfUnit1.{c}.{l}"
+    for c in ("conv1", "conv2") for l in ("weight", "bias")
+}
+
+
+def _tiny_track_and_sd():
+    from vitslam_tpu.models import TrackHead
+
+    head = TrackHead(dim_in=32, patch_size=14, features=8, stride=2,
+                     iters=1, corr_levels=2, corr_radius=1, hidden_size=16,
+                     updater_depth=TRACK_UPDATER_DEPTH, dtype=jnp.float32)
+    gh, gw, psi = 2, 3, 5
+    taps = [jnp.zeros((1, 2, psi + gh * gw, 32))] * 4
+    imgs = jnp.zeros((1, 2, 3, gh * 14, gw * 14))
+    q = jnp.asarray([[[3.0, 4.0], [10.0, 6.0]]])
+    params = head.init(jax.random.PRNGKey(0), taps, imgs, psi, q)
+    ours = export_torch_style(params)
+    # the standalone head's tree roots at 'params.'; in the full model it
+    # sits at params.core.track_head (scripts/convert_vggt_checkpoint.py
+    # grafts exactly this subtree into the conversion template)
+    ours = {k.replace("params.", "params.core.track_head.", 1): v
+            for k, v in ours.items()}
+    sd = {to_vggt_name(k): inverse_transform_value(to_vggt_name(k), v)
+          for k, v in ours.items()}
+    return head, (taps, imgs, psi, q), params, sd
+
+
+def test_track_key_surface_matches_vggt1b():
+    """Exported track-head surface == the enumerated checkpoint track keys
+    (modulo refinenet4's dead skip-unit, as for the other DPT heads)."""
+    _, _, _, sd = _tiny_track_and_sd()
+    expected = set(expected_track_keys())
+    got = set(sd)
+    assert expected - got == TRACK_EXPECTED_DROPS, \
+        sorted((expected - got) ^ TRACK_EXPECTED_DROPS)[:10]
+    assert got - expected == set(), sorted(got - expected)[:10]
+
+
+def test_track_state_dict_roundtrips():
+    """A real-naming track_head.* dict translates with zero unmatched keys
+    and imports back to the exact source params."""
+    _, _, params, sd = _tiny_track_and_sd()
+    for k in TRACK_EXPECTED_DROPS:
+        sd[k] = np.zeros((1, 8), np.float32)
+    mapped, unmatched = {}, []
+    for k, v in sd.items():
+        nk = translate_key(k)
+        if nk is None:
+            if k not in TRACK_EXPECTED_DROPS:
+                unmatched.append(k)
+            continue
+        # strip the full-model prefix back to the standalone head's tree
+        nk = nk.replace("params.core.track_head.", "params.", 1)
+        mapped[nk] = transform_value(k, np.asarray(v))
+    assert not unmatched, unmatched[:10]
+    restored, missing = import_torch_style(mapped, params, strict=False)
+    assert not missing, missing[:10]
+    for (pa, a), (pb, b) in zip(
+        sorted(export_torch_style(params).items()),
+        sorted(export_torch_style(restored).items()),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=pa)
+
+
+def test_converted_track_golden_outputs():
+    """Conversion + tracker-forward determinism: a synthetic real-naming
+    track state dict (values seeded per key name) pushed through the
+    converter must reproduce recorded outputs on a fixed input."""
+    import hashlib
+
+    head, (taps, imgs, psi, q), params, sd = _tiny_track_and_sd()
+
+    def val_for(key, shape):
+        seed = int.from_bytes(hashlib.sha256(key.encode()).digest()[:4],
+                              "little")
+        return (np.random.default_rng(seed).normal(0, 0.05, size=shape)
+                .astype(np.float32))
+
+    sd = {k: val_for(k, np.asarray(v).shape) for k, v in sd.items()}
+    mapped = {translate_key(k).replace("params.core.track_head.", "params.", 1):
+              transform_value(k, v) for k, v in sd.items()
+              if translate_key(k) is not None}
+    restored, missing = import_torch_style(mapped, params, strict=False)
+    assert not missing, missing[:10]
+
+    rich_taps = [(jnp.arange(t.size, dtype=jnp.float32).reshape(t.shape)
+                  % 89) / 89.0 for t in taps]
+    tracks, vis, conf = head.apply(restored, rich_taps, imgs, psi, q)
+    got = []
+    for v in (tracks, vis, conf):
+        v = np.asarray(v, np.float64)
+        got += [v.mean(), v.std(), float(v.ravel()[v.size // 2])]
+    want = [5.682060e+00, 2.670403e+00, 2.890168e+00,
+            4.993748e-01, 2.168468e-05, 4.993916e-01,
+            5.108497e-01, 5.498670e-06, 5.108575e-01]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-7,
+                               err_msg="converted-tracker outputs drifted")

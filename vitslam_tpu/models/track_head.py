@@ -1,19 +1,29 @@
-"""TrackHead — CoTracker-style point tracking across the frames of a chunk.
+"""TrackHead — CoTracker-style point tracking with the real VGGT-1B module tree.
 
-Structure parity with VGGT's TrackHead (SURVEY.md §2.9a; import site
-aligned_vggt/models/featureAligned_vggt.py:8,30 — instantiated by every
-reference model but disabled in every shipped config): a DPT feature
-extractor in ``feature_only`` mode at 1/2 resolution, a multi-level
-correlation pyramid sampled in a (2r+1)^2 window around the current track
-positions, and an iterative transformer updater with alternating
-space (over tracks) / time (over frames) attention, predicting per-frame
-track coordinates plus sigmoid visibility and confidence.
+Structure parity with the public VGGT TrackHead (vggt/heads/track_head.py +
+vggt/heads/track_modules/{base_track_predictor,blocks,modules}.py; import
+site aligned_vggt/models/featureAligned_vggt.py:8,30 — instantiated by every
+reference model but disabled in every shipped config): a DPT
+``feature_extractor`` in feature-only mode at 1/``stride`` resolution, and a
+``tracker`` (BaseTrackerPredictor) holding the correlation MLP, an
+EfficientUpdateFormer with factored time / space(+virtual-track) attention,
+and the feature/visibility/confidence update heads.
 
-TPU-first notes: all loops are static (iters, pyramid levels), window
-sampling is a batched bilinear gather with static window shapes, and the
-updater reuses nn/layers.py::Block. The tracker's internal naming is our
-own — the converter intentionally drops ``track_head.*`` checkpoint keys
-(the reference never ships trained track weights).
+Module and parameter naming deliberately mirrors the torch tree
+(``feature_extractor.*``, ``tracker.corr_mlp.fc1``,
+``tracker.updateformer.time_blocks.N.attn.to_q``,
+``tracker.updateformer.virual_tracks`` — cotracker's original typo —
+etc.) so the VGGT-1B checkpoint's ``track_head.*`` keys convert with pure
+name rules (io/torch_convert.py; tests/test_converter.py enumerates the
+surface). The torch sources are not downloadable in this environment, so
+the tree is reconstructed from the public VGGT/CoTracker-2 module code and
+the converter's track rules are verified against this reconstruction
+rather than against real weights.
+
+TPU-first notes: all loops are static (iters, pyramid levels, updater
+depth), window sampling is a batched bilinear gather with static window
+shapes, correlation windows are einsum'd on the MXU, and the whole tracker
+runs fp32 (it is a cold path — a few M params vs the 1B backbone).
 """
 from __future__ import annotations
 
@@ -23,7 +33,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import Block
 from .dpt_head import DPTHead
 
 
@@ -52,84 +61,170 @@ def bilinear_sample(feat: jax.Array, coords: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
-def _sincos_embed(x: jax.Array, dim: int, max_freq: float = 64.0) -> jax.Array:
-    """Per-coordinate sin/cos embedding of (..., 2) flow -> (..., dim)."""
-    half = dim // 4  # freqs per coordinate per fn
-    freqs = max_freq ** (jnp.arange(half, dtype=jnp.float32) / max(half - 1, 1))
-    ang = x[..., None] * freqs  # (..., 2, half)
-    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-    return emb.reshape(x.shape[:-1] + (2 * 2 * half,))
+def get_2d_embedding(xy: jax.Array, dim: int) -> jax.Array:
+    """CoTracker's 2-D sin/cos flow embedding: (..., 2) -> (..., 2*dim).
+
+    Per coordinate, ``dim/2`` geometric frequencies -> sin+cos, x-block then
+    y-block (cotracker/models/core/embeddings.py convention)."""
+    half = dim // 2
+    freqs = 2.0 ** jnp.arange(half, dtype=jnp.float32)
+    angx = xy[..., 0:1] * freqs  # (..., half)
+    angy = xy[..., 1:2] * freqs
+    return jnp.concatenate(
+        [jnp.sin(angx), jnp.cos(angx), jnp.sin(angy), jnp.cos(angy)], axis=-1)
 
 
-class _UpdateFormer(nn.Module):
-    """Alternating space/time attention over (B, S, N, hidden) track tokens
-    (VGGT EfficientUpdateFormer shape; our Block internals)."""
+class _Mlp(nn.Module):
+    """torch-style Mlp: fc1 -> GELU -> fc2 (names are the converter contract)."""
     hidden: int
-    depth: int = 3
-    num_heads: int = 8
-    dtype: jnp.dtype = jnp.float32
+    out: int
 
     @nn.compact
     def __call__(self, x):
-        B, S, N, Ch = x.shape
-        for i in range(self.depth):
-            xs = x.reshape(B * S, N, Ch)
-            xs = Block(dim=Ch, num_heads=self.num_heads, qk_norm=False,
-                       dtype=self.dtype, name=f"space_{i}")(xs)
-            xt = xs.reshape(B, S, N, Ch).transpose(0, 2, 1, 3).reshape(
-                B * N, S, Ch)
-            xt = Block(dim=Ch, num_heads=self.num_heads, qk_norm=False,
-                       dtype=self.dtype, name=f"time_{i}")(xt)
-            x = xt.reshape(B, N, S, Ch).transpose(0, 2, 1, 3)
+        x = nn.Dense(self.hidden, dtype=jnp.float32, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=jnp.float32, name="fc2")(x)
+
+
+class _TrackAttention(nn.Module):
+    """cotracker Attention: to_q / to_kv / to_out projections; context == x
+    gives self-attention (the naming the VGGT-1B track checkpoint stores)."""
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        B, N, _ = x.shape
+        h = self.num_heads
+        dh = self.dim // h
+        q = nn.Dense(self.dim, dtype=jnp.float32, name="to_q")(x)
+        kv = nn.Dense(2 * self.dim, dtype=jnp.float32, name="to_kv")(context)
+        k, v = kv[..., : self.dim], kv[..., self.dim:]
+        split = lambda t: t.reshape(B, t.shape[1], h, dh).swapaxes(1, 2)
+        q, k, v = split(q), split(k), split(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(dh))
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.swapaxes(1, 2).reshape(B, N, self.dim)
+        return nn.Dense(self.dim, dtype=jnp.float32, name="to_out")(o)
+
+
+class _AttnBlock(nn.Module):
+    """norm1 + self-attention + norm2 + mlp, pre-norm residual."""
+    hidden: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + _TrackAttention(self.hidden, self.num_heads, name="attn")(
+            nn.LayerNorm(name="norm1")(x))
+        x = x + _Mlp(int(self.hidden * self.mlp_ratio), self.hidden,
+                     name="mlp")(nn.LayerNorm(name="norm2")(x))
         return x
 
 
-class TrackHead(nn.Module):
-    dim_in: int = 2048
-    patch_size: int = 14
-    features: int = 128
-    stride: int = 2
-    iters: int = 4
-    corr_levels: int = 4
-    corr_radius: int = 3
-    hidden_size: int = 384
-    updater_depth: int = 3
-    dtype: jnp.dtype = jnp.bfloat16
+class _CrossAttnBlock(nn.Module):
+    """norm1/norm_context + cross-attention + norm2 + mlp."""
+    hidden: int
+    num_heads: int
+    mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(
-        self,
-        token_list: Sequence[jax.Array],
-        images: jax.Array,
-        patch_start_idx: int,
-        query_points: jax.Array,
-    ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """Track query points (given in pixel coords of frame 0) across S.
+    def __call__(self, x, context):
+        x = x + _TrackAttention(self.hidden, self.num_heads,
+                                name="cross_attn")(
+            nn.LayerNorm(name="norm1")(x),
+            context=nn.LayerNorm(name="norm_context")(context))
+        x = x + _Mlp(int(self.hidden * self.mlp_ratio), self.hidden,
+                     name="mlp")(nn.LayerNorm(name="norm2")(x))
+        return x
 
-        Args:
-            token_list: tapped aggregator layers (B, S, P_total, dim_in).
-            images: (B, S, 3, H, W).
-            query_points: (B, N, 2) (x, y) pixels in frame 0.
-        Returns:
-            tracks (B, S, N, 2) pixels, visibility (B, S, N),
-            confidence (B, S, N).
-        """
-        B, S, _, H, W = images.shape
-        fmaps = DPTHead(
-            dim_in=self.dim_in, features=self.features,
-            out_channels=(self.features, self.features * 2,
-                          self.features * 4, self.features * 4),
-            patch_size=self.patch_size, pos_embed=False, feature_only=True,
-            down_ratio=self.stride, dtype=self.dtype,
-            name="feature_extractor",
-        )(token_list, images, patch_start_idx)  # (B, S, H2, W2, C)
-        _, _, H2, W2, C = fmaps.shape
-        fmaps = fmaps.astype(jnp.float32)
-        fmaps = fmaps / jnp.linalg.norm(fmaps, axis=-1, keepdims=True).clip(1e-6)
 
+class EfficientUpdateFormer(nn.Module):
+    """Factored time/space transformer over (B, N, S, C) track tokens with
+    learned virtual tracks (cotracker-2 EfficientUpdateFormer; VGGT-1B
+    stores it at ``track_head.tracker.updateformer``)."""
+    input_dim: int
+    hidden_size: int
+    output_dim: int
+    time_depth: int = 6
+    space_depth: int = 6
+    num_heads: int = 8
+    num_virtual_tracks: int = 64
+    add_space_attn: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, S, _ = x.shape
+        tokens = nn.Dense(self.hidden_size, dtype=jnp.float32,
+                          name="input_transform")(x)
+        if self.add_space_attn:
+            virtual = self.param(
+                "virual_tracks",  # sic — cotracker's param name (typo kept
+                # verbatim: the checkpoint key is the contract)
+                nn.initializers.normal(1.0),
+                (1, self.num_virtual_tracks, 1, self.hidden_size),
+                jnp.float32)
+            tokens = jnp.concatenate(
+                [tokens, jnp.broadcast_to(
+                    virtual, (B, self.num_virtual_tracks, S,
+                              self.hidden_size))], axis=1)
+        n_tot = tokens.shape[1]
+        every = max(1, self.time_depth // max(self.space_depth, 1))
+        j = 0
+        for i in range(self.time_depth):
+            t = tokens.reshape(B * n_tot, S, self.hidden_size)
+            t = _AttnBlock(self.hidden_size, self.num_heads,
+                           name=f"time_blocks_{i}")(t)
+            tokens = t.reshape(B, n_tot, S, self.hidden_size)
+            if (self.add_space_attn and j < self.space_depth
+                    and i % every == 0):
+                s = tokens.swapaxes(1, 2).reshape(B * S, n_tot,
+                                                  self.hidden_size)
+                pts, virt = s[:, :N], s[:, N:]
+                virt = _CrossAttnBlock(
+                    self.hidden_size, self.num_heads,
+                    name=f"space_point2virtual_blocks_{j}")(virt, pts)
+                virt = _AttnBlock(self.hidden_size, self.num_heads,
+                                  name=f"space_virtual_blocks_{j}")(virt)
+                pts = _CrossAttnBlock(
+                    self.hidden_size, self.num_heads,
+                    name=f"space_virtual2point_blocks_{j}")(pts, virt)
+                s = jnp.concatenate([pts, virt], axis=1)
+                tokens = s.reshape(B, S, n_tot,
+                                   self.hidden_size).swapaxes(1, 2)
+                j += 1
+        tokens = tokens[:, :N]
+        return nn.Dense(self.output_dim, dtype=jnp.float32,
+                        kernel_init=nn.initializers.zeros,
+                        name="flow_head")(tokens)
+
+
+class BaseTrackerPredictor(nn.Module):
+    """Iterative CoTracker predictor over 1/stride feature maps
+    (``track_head.tracker`` in the VGGT-1B checkpoint)."""
+    latent_dim: int = 128
+    stride: int = 2
+    corr_levels: int = 7
+    corr_radius: int = 4
+    hidden_size: int = 384
+    updater_depth: int = 6
+    iters: int = 4
+    num_heads: int = 8
+    max_scale: float = 518.0
+
+    @nn.compact
+    def __call__(self, fmaps: jax.Array, query_points: jax.Array):
+        """fmaps (B, S, H2, W2, C) fp32 feature maps (1/stride resolution),
+        query_points (B, N, 2) (x, y) pixels in frame 0 at FULL resolution.
+        Returns (tracks_px (B, S, N, 2), vis_logit, conf_logit (B, S, N))."""
+        B, S, H2, W2, C = fmaps.shape
+        fmaps = nn.LayerNorm(name="fmap_norm")(fmaps)
         q = query_points.astype(jnp.float32) / self.stride  # fmap coords
-        track_feat0 = bilinear_sample(fmaps[:, 0], q)  # (B, N, C)
         N = q.shape[1]
+        track_feat0 = bilinear_sample(fmaps[:, 0], q)  # (B, N, C)
 
         # correlation pyramid (avg-pooled feature maps, static level count)
         pyramid = []
@@ -147,18 +242,28 @@ class TrackHead(nn.Module):
         ).reshape(-1, 2)  # (K, 2)
         K = offs.shape[0]
 
-        in_proj = nn.Dense(self.hidden_size, dtype=jnp.float32, name="in_proj")
-        updater = _UpdateFormer(self.hidden_size, self.updater_depth,
-                                dtype=jnp.float32, name="updater")
-        out_proj = nn.Dense(2 + C, dtype=jnp.float32,
-                            kernel_init=nn.initializers.zeros, name="out_proj")
-        vis_head = nn.Dense(1, dtype=jnp.float32, name="vis_head")
-        conf_head = nn.Dense(1, dtype=jnp.float32, name="conf_head")
+        corr_mlp = _Mlp(384, 256, name="corr_mlp")
+        femb = self.latent_dim // 2
+        tf_dim = 256 + (2 * femb + 4) + self.latent_dim
+        pad = (-tf_dim) % self.num_heads
+        tf_dim += pad
+        query_ref_token = self.param(
+            "query_ref_token", nn.initializers.normal(1.0),
+            (1, 2, tf_dim), jnp.float32)
+        updater = EfficientUpdateFormer(
+            tf_dim, self.hidden_size, self.latent_dim + 2,
+            time_depth=self.updater_depth, space_depth=self.updater_depth,
+            num_heads=self.num_heads, name="updateformer")
+        ffeat_norm = nn.GroupNorm(num_groups=1, name="ffeat_norm")
+        ffeat_updater = nn.Dense(self.latent_dim, dtype=jnp.float32,
+                                 name="ffeat_updater_0")
+        vis_predictor = nn.Dense(1, dtype=jnp.float32, name="vis_predictor_0")
+        conf_predictor = nn.Dense(1, dtype=jnp.float32,
+                                  name="conf_predictor_0")
 
-        # CoTracker init: query positions replicated to every frame
+        # CoTracker init: query positions/features replicated to every frame
         coords = jnp.broadcast_to(q[:, None], (B, S, N, 2))
         track_feat = jnp.broadcast_to(track_feat0[:, None], (B, S, N, C))
-        x = None
         for _ in range(self.iters):
             coords = jax.lax.stop_gradient(coords)
             tf_flat = track_feat.reshape(B * S, N, C)
@@ -171,17 +276,83 @@ class TrackHead(nn.Module):
                 ).reshape(B * S, N, K, C)
                 corrs.append(jnp.einsum("mnc,mnkc->mnk", tf_flat, sampled)
                              / jnp.sqrt(jnp.float32(C)))
-            corr_cat = jnp.concatenate(corrs, axis=-1).reshape(
-                B, S, N, self.corr_levels * K)
-            flow = coords - coords[:, :1]  # displacement from the query frame
-            flow_emb = _sincos_embed(flow / 16.0, 64)
-            x = in_proj(jnp.concatenate(
-                [corr_cat, flow_emb, track_feat], axis=-1))
-            x = updater(x)
-            out = out_proj(x)
-            coords = coords + out[..., :2]
-            track_feat = track_feat + out[..., 2:]
+            corr_emb = corr_mlp(jnp.concatenate(corrs, axis=-1).reshape(
+                B, S, N, self.corr_levels * K))
+            flows = coords - coords[:, :1]  # displacement from query frame
+            flows_emb = get_2d_embedding(flows / self.max_scale, femb)
+            flows_emb = jnp.concatenate(
+                [flows_emb, flows / self.max_scale, flows / self.max_scale],
+                axis=-1)
+            x = jnp.concatenate([flows_emb, corr_emb, track_feat], axis=-1)
+            if pad:
+                x = jnp.pad(x, ((0, 0),) * 3 + ((0, pad),))
+            # frame 0 is the query/reference frame; later frames get the
+            # second learned token
+            ref = jnp.where((jnp.arange(S) == 0)[None, :, None, None],
+                            query_ref_token[:, 0][:, None, None],
+                            query_ref_token[:, 1][:, None, None])
+            x = x + ref
+            delta = updater(x.transpose(0, 2, 1, 3))  # (B, N, S, latent+2)
+            delta = delta.transpose(0, 2, 1, 3)       # (B, S, N, latent+2)
+            coords = coords + delta[..., :2]
+            # torch GroupNorm(1, C) sees (M, C) rows -> normalize over C
+            # only; ffeat_updater is Sequential(Linear, GELU)
+            dfeat = ffeat_norm(delta[..., 2:].reshape(-1, C)).reshape(
+                B, S, N, C)
+            track_feat = track_feat + nn.gelu(ffeat_updater(dfeat),
+                                              approximate=False)
 
-        visibility = jax.nn.sigmoid(vis_head(x)[..., 0])
-        confidence = jax.nn.sigmoid(conf_head(x)[..., 0])
-        return coords * self.stride, visibility, confidence
+        vis = vis_predictor(track_feat)[..., 0]
+        conf = conf_predictor(track_feat)[..., 0]
+        return coords * self.stride, vis, conf
+
+
+class TrackHead(nn.Module):
+    dim_in: int = 2048
+    patch_size: int = 14
+    features: int = 128
+    stride: int = 2
+    iters: int = 4
+    corr_levels: int = 7
+    corr_radius: int = 4
+    hidden_size: int = 384
+    updater_depth: int = 6
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.feature_extractor = DPTHead(
+            dim_in=self.dim_in, features=self.features,
+            out_channels=(self.features, self.features * 2,
+                          self.features * 4, self.features * 4),
+            patch_size=self.patch_size, pos_embed=False, feature_only=True,
+            down_ratio=self.stride, dtype=self.dtype,
+        )
+        self.tracker = BaseTrackerPredictor(
+            latent_dim=self.features, stride=self.stride,
+            corr_levels=self.corr_levels, corr_radius=self.corr_radius,
+            hidden_size=self.hidden_size, updater_depth=self.updater_depth,
+            iters=self.iters,
+        )
+
+    def __call__(
+        self,
+        token_list: Sequence[jax.Array],
+        images: jax.Array,
+        patch_start_idx: int,
+        query_points: jax.Array,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Track query points (given in pixel coords of frame 0) across S.
+
+        Args:
+            token_list: tapped aggregator layers (B, S, P_total, dim_in).
+            images: (B, S, 3, H, W).
+            query_points: (B, N, 2) (x, y) pixels in frame 0.
+        Returns:
+            tracks (B, S, N, 2) pixels, visibility (B, S, N),
+            confidence (B, S, N) — sigmoid applied here, as in VGGT's
+            TrackHead.forward.
+        """
+        fmaps = self.feature_extractor(token_list, images, patch_start_idx)
+        tracks, vis, conf = self.tracker(fmaps.astype(jnp.float32),
+                                         query_points)
+        return tracks, jax.nn.sigmoid(vis), jax.nn.sigmoid(conf)
