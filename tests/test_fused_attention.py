@@ -109,3 +109,100 @@ def test_attention_module_fused_matches_flat():
         del os.environ["VITSLAM_FUSED_ATTN"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2,
                                rtol=2e-2)
+
+
+class TestFlatFlashLargeN:
+    """flat_flash_attention — the >4096-token streaming path the 75/30
+    variants ride (VERDICT r2 Next #1 done-criterion: kernel-vs-XLA parity
+    at a >4096-token shape) — vs plain softmax attention, incl. the
+    ragged-tail pad-mass correction, cross-length K/V (the KV-merged mode
+    feeds Nk != Nq), and the custom-VJP backward."""
+
+    def _run(self, nq, nk, h=2, dh=64, seed=0):
+        from vitslam_tpu.ops.fused_attention import flat_flash_attention
+
+        rng = np.random.default_rng(seed)
+        C = h * dh
+        q = jnp.asarray(rng.normal(size=(1, nq, C)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, nk, C)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, nk, C)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = flat_flash_attention(q, k, v, num_heads=h, static_max=16.0)
+
+        def expect(q, k, v):
+            split = lambda t: t.reshape(1, t.shape[1], h, dh).swapaxes(1, 2)
+            qh, kh, vh = split(q), split(k), split(v)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(dh)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+            return o.swapaxes(1, 2).reshape(1, q.shape[1], C)
+
+        return np.asarray(out, np.float32), np.asarray(expect(q, k, v))
+
+    def test_large_n_matches_softmax(self):
+        got, want = self._run(4352, 4352)
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    def test_ragged_tail_pad_mass(self):
+        got, want = self._run(4250, 4250)  # not a block multiple
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    def test_cross_length_kv(self):
+        got, want = self._run(640, 4352)  # Nk != Nq (KV-merged shape)
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    def test_backward_runs_and_matches_reference_grad(self):
+        """The custom VJP recomputes through _flat_reference — this would
+        have caught the unbound-N regression in that path."""
+        from vitslam_tpu.ops.fused_attention import flat_flash_attention
+
+        rng = np.random.default_rng(3)
+        h, dh = 2, 64
+        C = h * dh
+        nq = nk = 4352
+        q = jnp.asarray(rng.normal(size=(1, nq, C)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, nk, C)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, nk, C)), jnp.float32)
+
+        def f(q, k, v):
+            return jnp.sum(flat_flash_attention(
+                q, k, v, num_heads=h, static_max=16.0) ** 2)
+
+        def f_ref(q, k, v):
+            split = lambda t: t.reshape(1, t.shape[1], h, dh).swapaxes(1, 2)
+            qh, kh, vh = split(q), split(k), split(v)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(dh)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+            return jnp.sum(o.swapaxes(1, 2).reshape(1, nq, C) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gq, gk, gv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        rq, rk, rv = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, r, name in ((gq, rq, "dq"), (gk, rk, "dk"), (gv, rv, "dv")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=5e-2, rtol=5e-2, err_msg=name)
+
+
+class TestMlpTail:
+    """ops/mlp_tail.py: fc2+bias+residual+LayerNorm fusion vs plain math."""
+
+    @pytest.mark.parametrize("m,f,c", [(256, 512, 256), (300, 512, 128)])
+    def test_matches_reference(self, m, f, c):
+        from vitslam_tpu.ops.mlp_tail import mlp_tail, mlp_tail_reference
+
+        rng = np.random.default_rng(0)
+        h = jnp.asarray(rng.normal(size=(m, f)), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(f, c)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+        res = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(1, 0.1, size=(c,)), jnp.float32)
+        beta = jnp.asarray(rng.normal(0, 0.1, size=(c,)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            x, y = mlp_tail(h, w2, b2, res, gamma, beta,
+                            block_m=128, block_k=256)
+        xr, yr = mlp_tail_reference(h, w2, b2, res, gamma, beta)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(xr),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                                   atol=1e-3, rtol=1e-3)

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.layers import Block
-from ..nn.rope import patch_grid_positions
+from ..nn.rope import StaticDim, patch_grid_positions
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -224,8 +224,8 @@ class _AggPairScan(nn.Module):
             x, taps, cos_f, sin_f, cos_g, sin_g, cos_kv, sin_kv = carry
         else:
             x, taps, cos_f, sin_f, cos_g, sin_g = carry
-        pos_frame = (cos_f, sin_f, 2)
-        pos_global = (cos_g, sin_g, 2)
+        pos_frame = (cos_f, sin_f, StaticDim(2))
+        pos_global = (cos_g, sin_g, StaticDim(2))
         B, S = self.B, self.S
         T = x.shape[1]
         block_cls = nn.remat(Block) if self.remat else Block
@@ -246,7 +246,7 @@ class _AggPairScan(nn.Module):
         xg = x.reshape(B, S * T, self.dim)
         if merging:
             xg = global_blk(xg, pos_global, kv=self._merged_kv(x),
-                            pos_kv=(cos_kv, sin_kv, 2))   # (B, S*T, C)
+                            pos_kv=(cos_kv, sin_kv, StaticDim(2)))  # (B, S*T, C)
         else:
             xg = global_blk(xg, pos_global)               # (B, S*T, C)
         x = xg.reshape(B * S, T, self.dim)

@@ -77,11 +77,21 @@ def apply_rope_2d(tokens: jax.Array, positions: jax.Array, base: float = 100.0) 
     return jnp.concatenate([y_out, x_out], axis=-1).astype(tokens.dtype)
 
 
+@jax.tree_util.register_static
+class StaticDim(int):
+    """An int that rides pytrees as STATIC aux data. The rope-cache nsplit
+    must remain a Python int through nn.remat / jax.checkpoint boundaries:
+    as an ordinary tuple leaf it would be traced to an array, defeating
+    both the static split in apply_rope_cached and the cache detection in
+    nn.layers._is_rope_cache (isinstance(..., int) still holds — this is
+    an int subclass)."""
+
+
 def rope_cache_1d(positions: jax.Array, dim: int, base: float = 100.0):
     """Precompute (cos, sin, nsplit=1) for 1-D RoPE — hoist the trig out of
     hot loops (e.g. computed once per forward instead of per scanned layer)."""
     cos, sin = _rope_angles(positions, dim, base)
-    return cos, sin, 1
+    return cos, sin, StaticDim(1)
 
 
 def rope_cache_2d(positions: jax.Array, dim: int, base: float = 100.0):
@@ -92,7 +102,7 @@ def rope_cache_2d(positions: jax.Array, dim: int, base: float = 100.0):
     cos_y, sin_y = _rope_angles(positions[..., 0], half, base)
     cos_x, sin_x = _rope_angles(positions[..., 1], half, base)
     return (jnp.concatenate([cos_y, cos_x], axis=-1),
-            jnp.concatenate([sin_y, sin_x], axis=-1), 2)
+            jnp.concatenate([sin_y, sin_x], axis=-1), StaticDim(2))
 
 
 def _rotate_half_multi(x: jax.Array, nsplit: int) -> jax.Array:

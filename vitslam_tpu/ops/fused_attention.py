@@ -473,7 +473,7 @@ def _flat_reference(q, k, v, *, num_heads):
                    preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s * jnp.float32(1.0 / _LOG2E), axis=-1)
     o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh)
-    return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+    return o.transpose(0, 2, 1, 3).reshape(B, q.shape[1], C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
