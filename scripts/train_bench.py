@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--buckets", default="3:1,10:3,20:5")
     ap.add_argument("--descent-steps", type=int, default=6)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--profile", default=None,
+                    help="dir: wrap 2 post-warmup steps of the first bucket "
+                         "in jax.profiler.trace")
     args = ap.parse_args()
 
     import jax
@@ -136,6 +139,14 @@ def main():
         state, metrics = step_fn(state, chunks, merged, jax.random.PRNGKey(1))
         fence(metrics)
         compile_s = time.time() - t0
+
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                for i in range(2):
+                    state, metrics = step_fn(state, chunks, merged,
+                                             jax.random.fold_in(rng, 90 + i))
+                    fence(metrics)
+            print(f"# profile written to {args.profile}", file=sys.stderr)
 
         t0 = time.time()
         for i in range(args.steps):

@@ -17,6 +17,13 @@ import numpy as np
 from ..geometry import rotation_angle
 
 
+def _median(x: np.ndarray) -> float:
+    """torch.median semantics: the LOWER of the two middle values on
+    even-length input (np.median averages them — reference parity:
+    eval/trajectory_metrics.py:64,199,205 use torch.median)."""
+    return float(np.sort(np.ravel(x))[(x.size - 1) // 2])
+
+
 class Metric:
     """Minimal distributed-friendly metric: numpy list states + optional
     cross-process gather at compute time."""
@@ -86,7 +93,7 @@ class AbsoluteTrajectoryError(Metric):
         out = {"ate_rmse": rmse}
         if self.detailed and e.size:
             out.update(
-                ate_mean=float(e.mean()), ate_median=float(np.median(e)),
+                ate_mean=float(e.mean()), ate_median=_median(e),
                 ate_std=float(e.std(ddof=1)) if e.size > 1 else 0.0,
                 ate_min=float(e.min()), ate_max=float(e.max()),
                 ate_rmse_per_dim=np.sqrt((pd ** 2).mean(axis=0)).tolist(),
@@ -138,11 +145,11 @@ class RelativePoseError(Metric):
         if self.detailed and t.size:
             out.update(
                 rpe_trans_mean=float(t.mean()),
-                rpe_trans_median=float(np.median(t)),
+                rpe_trans_median=_median(t),
                 rpe_trans_std=float(t.std(ddof=1)) if t.size > 1 else 0.0,
                 rpe_trans_min=float(t.min()), rpe_trans_max=float(t.max()),
                 rpe_rot_mean=float(np.degrees(r.mean())),
-                rpe_rot_median=float(np.degrees(np.median(r))),
+                rpe_rot_median=float(np.degrees(_median(r))),
                 rpe_rot_std=float(np.degrees(r.std(ddof=1))) if r.size > 1 else 0.0,
                 rpe_rot_min=float(np.degrees(r.min())),
                 rpe_rot_max=float(np.degrees(r.max())),
