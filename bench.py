@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # reference README.md:130: feature-aligned 19 FPS (~12GB GPU);
 # point/pose-aligned 15 FPS (24GB GPU, chunk 75/overlap 30)
-BASELINE_FPS = {"feature": 19.0, "point": 15.0, "pose": 15.0}
+BASELINE_FPS = {"feature": 19.0, "point": 15.0, "pose": 15.0,
+                "pose_only": 15.0}
 
 
 def main():
@@ -64,6 +65,10 @@ def main():
     elif variant == "pose":
         from vitslam_tpu.models.presets import flagship_pose_aligned
         model = flagship_pose_aligned()
+        W = 518
+    elif variant == "pose_only":
+        from vitslam_tpu.models.presets import flagship_pose_only
+        model = flagship_pose_only()
         W = 518
     else:
         model = flagship()

@@ -37,16 +37,20 @@ def main():
     C, F = 1024, 4096
 
     def timeit(f, args, iters=30):
-        out = f(*args)
-        fence = sum(float(jnp.sum(o.astype(jnp.float32).ravel()[:8]))
-                    for o in out)
+        # chain iterations through res (same (M, C) shape as x') so the
+        # loop is data-dependent and serial on-device; fence ONCE at the
+        # end and subtract the single ~30 ms tunnel readback
+        h, w2, b2, res = args[:4]
+        rest = args[4:]
+        out = f(h, w2, b2, res, *rest)
+        x = out[0] if isinstance(out, (tuple, list)) else out
+        float(jnp.sum(x.astype(jnp.float32).ravel()[:8]))
         t0 = time.time()
         for _ in range(iters):
-            out = f(*args)
-        _ = sum(float(jnp.sum(o.astype(jnp.float32).ravel()[:8]))
-                for o in out)
-        del fence
-        return (time.time() - t0) / iters - 0.008
+            out = f(h, w2, b2, x, *rest)
+            x = out[0] if isinstance(out, (tuple, list)) else out
+        float(jnp.sum(x.astype(jnp.float32).ravel()[:8]))
+        return max(time.time() - t0 - 0.030, 1e-9) / iters
 
     for M in (6895, 13790, 1379 * 16):
         ks = jax.random.split(rng, 6)
@@ -79,7 +83,7 @@ def main():
                 print(f"M={M:6d} gelu+barrier xla      {dt*1e3:7.2f} ms  "
                       f"{flops/dt/1e12:6.1f} TF/s", flush=True)
 
-            for bm in (512, 1024, 2048):
+            for bm in (256, 512, 1024):
                 for bk in (512, 1024, 2048):
                     fb = jax.jit(lambda h, w2, b2, res, g, b, bm=bm, bk=bk,
                                  gelu=gelu:

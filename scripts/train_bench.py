@@ -165,7 +165,15 @@ def main():
         }), flush=True)
 
         if (width, overlap) == buckets[-1] and args.descent_steps:
-            objs = [round(float(metrics["objective"]), 4)]
+            # start past every loss-warmup schedule (cameraPose/depth/reg
+            # weights ramp over the first ~1400 of 70000 steps — a rising
+            # objective at step<1400 is the weights growing, not ascent)
+            state = TrainState(trainable=state.trainable, frozen=state.frozen,
+                               opt_state=state.opt_state,
+                               step=jnp.asarray(7000, jnp.int32))
+            state, metrics = step_fn(state, chunks, merged,
+                                     jax.random.fold_in(rng, 999))
+            objs = [round(fence(metrics), 4)]
             for i in range(args.descent_steps):
                 state, metrics = step_fn(state, chunks, merged,
                                          jax.random.fold_in(rng, 1000 + i))

@@ -191,10 +191,15 @@ class TestPrepare:
         assert pp.shape == (1, 3, 4, 4)
         assert len(pred_pts) == 1 and len(gt_pts) == 1
         assert gt_pts[0].shape[0] <= 500
-        # prediction == GT -> aligned points should be close to GT cloud
+        # prediction == GT -> aligned points should be close to GT cloud.
+        # The bound reflects subsample density, not exactness: pred and GT
+        # clouds are subsampled by different masks (conf-quantile vs GT
+        # point_masks), so nearest neighbors are different surface samples.
+        # (0.5 -> 0.7 after the reference-exact 'nearest' quantile +
+        # antialias=False resize of the e2e parity oracle moved selection.)
         m = ChamferDistanceMetrics()
         m.update(jnp.asarray(pred_pts[0]), jnp.asarray(gt_pts[0]))
-        assert m.compute()["chamfer_distance_rmse"] < 0.5
+        assert m.compute()["chamfer_distance_rmse"] < 0.7
 
     def test_plots_write_files(self, tmp_path):
         gt = _traj(5, None)

@@ -206,3 +206,86 @@ class TestMlpTail:
                                    atol=1e-3, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
                                    atol=1e-3, rtol=1e-3)
+
+
+class TestBlockFusedTail:
+    """nn/layers.py Block fused_tail: the proj+LayerScale+residual+norm2
+    and gelu+fc2+LayerScale+residual Pallas epilogues vs the unfused
+    block math, via the TPU interpreter on CPU."""
+
+    @pytest.mark.parametrize("init_values", [None, 0.01])
+    def test_matches_unfused(self, monkeypatch, init_values):
+        from vitslam_tpu.nn.layers import Block
+
+        rng = np.random.default_rng(7)
+        C, heads = 256, 4
+        x = jnp.asarray(rng.normal(size=(2, 512, C)), jnp.float32)  # 1024 rows
+        blk = Block(dim=C, num_heads=heads, qk_norm=False, rope=None,
+                    init_values=init_values, dtype=jnp.float32,
+                    fused_tail=True)
+        monkeypatch.setenv("VITSLAM_MLP_TAIL", "0")
+        params = blk.init(jax.random.PRNGKey(0), x)
+        ref = blk.apply(params, x)
+        monkeypatch.setenv("VITSLAM_MLP_TAIL", "1")
+        with pltpu.force_tpu_interpret_mode():
+            fused = blk.apply(params, x)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_param_tree_unchanged(self):
+        """fused_tail must not change the param tree (converter contract)."""
+        from vitslam_tpu.nn.layers import Block
+
+        x = jnp.zeros((1, 8, 64), jnp.float32)
+        kw = dict(dim=64, num_heads=2, qk_norm=False, rope=None,
+                  init_values=0.01, dtype=jnp.float32)
+        p0 = Block(**kw).init(jax.random.PRNGKey(0), x)
+        p1 = Block(**kw, fused_tail=True).init(jax.random.PRNGKey(0), x)
+        t0 = jax.tree_util.tree_structure(p0)
+        t1 = jax.tree_util.tree_structure(p1)
+        assert t0 == t1
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_small_rows_fall_back(self, monkeypatch):
+        """Below _TAIL_MIN_ROWS the fused path must not engage (the
+        alignment head's small token sets stay on the differentiable
+        path)."""
+        from vitslam_tpu.nn.layers import Block
+
+        monkeypatch.setenv("VITSLAM_MLP_TAIL", "1")
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64)),
+                        jnp.float32)
+        blk = Block(dim=64, num_heads=2, qk_norm=False, rope=None,
+                    dtype=jnp.float32, fused_tail=True)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        out = blk.apply(params, x)  # no interpret ctx: kernel would crash
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_tail_backward_matches_reference_grad(self):
+        """mlp_tail's custom VJP (XLA-recompute backward) vs grads of the
+        plain reference math."""
+        from vitslam_tpu.ops.mlp_tail import mlp_tail, mlp_tail_reference
+
+        rng = np.random.default_rng(5)
+        m, f, c = 256, 512, 256
+        args = [jnp.asarray(rng.normal(size=s) * sc, jnp.float32)
+                for s, sc in (((m, f), 1), ((f, c), 0.05), ((c,), 0.1),
+                              ((m, c), 1), ((c,), 0.1), ((c,), 0.1))]
+
+        def loss_k(h, w2, b2, res, g, b):
+            with pltpu.force_tpu_interpret_mode():
+                x, y = mlp_tail(h, w2, b2, res, g, b, gelu=True,
+                                block_m=128, block_k=256)
+            return jnp.sum(x * x) + jnp.sum(y)
+
+        def loss_r(h, w2, b2, res, g, b):
+            x, y = mlp_tail_reference(h, w2, b2, res, g, b, gelu=True)
+            return jnp.sum(x * x) + jnp.sum(y)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 3, 4))(*args)
+        gr = jax.grad(loss_r, argnums=(0, 1, 3, 4))(*args)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3)

@@ -131,6 +131,18 @@ class TestPoseAligned:
         assert preds["depth"].shape == (1, 6, H, W, 1)
         assert np.isfinite(np.asarray(preds["pose_enc"])).all()
 
+    def test_pose_only_serving(self):
+        # trajectory-only serving preset: camera head only, no DPT decode
+        # (models/presets.py::flagship_pose_only shape contract)
+        preds, _ = _run_variant(
+            PoseAlignedVGGT, "scale_from_poses",
+            extra=dict(enable_point=False, enable_depth=False),
+            n=6, width=4, overlap=2,
+        )
+        assert preds["pose_enc"].shape == (1, 6, 9)
+        assert np.isfinite(np.asarray(preds["pose_enc"])).all()
+        assert "depth" not in preds and "world_points" not in preds
+
     def test_chunk_gt_mode(self):
         kw = tiny_model_kwargs()
         model = PoseAlignedVGGT(**kw)

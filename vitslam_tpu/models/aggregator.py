@@ -77,7 +77,7 @@ class _EmbedBlockScan(nn.Module):
         x = block_cls(
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=False, init_values=self.init_values, dtype=self.dtype,
-            quant=True, name="block",
+            quant=True, fused_tail=True, name="block",
         )(x)
         return x, None
 
@@ -233,13 +233,13 @@ class _AggPairScan(nn.Module):
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=self.qk_norm, init_values=self.init_values, rope="2d",
             rope_base=self.rope_base, dtype=self.dtype, quant=True,
-            name="frame_block",
+            fused_tail=True, name="frame_block",
         )
         global_blk = block_cls(
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=self.qk_norm, init_values=self.init_values, rope="2d",
             rope_base=self.rope_base, dtype=self.dtype, quant=True,
-            seq_axis=self.seq_axis, name="global_block",
+            seq_axis=self.seq_axis, fused_tail=True, name="global_block",
         )
         x = frame_blk(x, pos_frame)                       # (B*S, T, C)
         frame_out = x

@@ -80,3 +80,18 @@ def flagship_pose_aligned(**overrides) -> PoseAlignedVGGT:
     kw.update(_token_merge_overrides())
     kw.update(overrides)
     return PoseAlignedVGGT(**kw)
+
+
+def flagship_pose_only(**overrides) -> PoseAlignedVGGT:
+    """Trajectory-only serving preset (a TPU-native extension beyond the
+    reference's configs): camera head only — no DPT decode at all — for
+    odometry/localisation serving where depth maps and point clouds are
+    not needed. The chunk-and-align math is identical to the pose-aligned
+    variant (aligned_vggt/models/poseAligned_wrapped_vggt.py:36-204); the
+    decoder work drops to the 4-layer camera head, so throughput is set
+    almost entirely by the backbone encode."""
+    kw = dict(FLAGSHIP)
+    kw.update(dict(enable_depth=False, enable_point=False))
+    kw.update(_token_merge_overrides())
+    kw.update(overrides)
+    return PoseAlignedVGGT(**kw)

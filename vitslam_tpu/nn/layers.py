@@ -89,6 +89,114 @@ def _fused_attention_enabled() -> bool:
     return _on_tpu()
 
 
+# fused block-tail path (ops/mlp_tail.py): below this many rows the matmul
+# is too small for the kernel's streaming schedule to pay off
+_TAIL_MIN_ROWS = 1024
+
+
+def _mlp_tail_enabled() -> bool:
+    return bool(_tail_sites())
+
+
+def _tail_sites() -> frozenset:
+    """Which block tails route through the Pallas epilogue kernel:
+    VITSLAM_MLP_TAIL = 1 (both sites) | mlp (fc2 tail only) | proj |
+    0/off/xla/unset (DEFAULT: off).
+
+    Off by default on purpose: the kernel beats XLA's fc2 output fusion in
+    ISOLATION (107 vs 76 TF/s at the square M=6.9k shape,
+    scripts/mlp_tail_probe.py) but LOSES in the whole aggregator
+    (scripts/tail_ab_probe.py, B=4 square 518²: mlp +13%, proj +6%, both
+    +17% vs unfused — XLA hides the epilogue behind neighboring ops'
+    scheduling slack that a pallas_call boundary forfeits; BENCH.md
+    round-3 negative results)."""
+    env = os.environ.get("VITSLAM_MLP_TAIL", "0")
+    if env in ("", "0", "off", "xla", "auto"):
+        return frozenset()
+    if env == "1":
+        return frozenset(("mlp", "proj"))
+    if env in ("mlp", "proj"):
+        return frozenset((env,))
+    return frozenset()
+
+
+def ln_apply(x, scale, bias, dtype, eps: float = 1e-6):
+    """Functional LayerNorm matching flax nn.LayerNorm's fast-variance
+    math bit-for-bit (fp32 stats, max(0, E[x²]−E[x]²), cast to dtype)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mean2 - mean * mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dtype)
+
+
+class _LNParams(nn.Module):
+    """Creates nn.LayerNorm-compatible params ({scale, bias}, fp32) WITHOUT
+    applying them — so the fused block-tail path can fold the LN into the
+    Pallas epilogue kernel while the unfused path applies ln_apply. The
+    param tree is identical to nn.LayerNorm's (converter-stable)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """QuantizableDense twin with statically-known in_features whose params
+    are reachable without running the matmul (setup-style) — the fused
+    block-tail path reads .kernel/.bias for the Pallas epilogue kernel.
+    Param names/shapes/init identical to nn.Dense/QuantizableDense."""
+    in_features: int
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features),
+                                 jnp.float32)
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        if self.quant and int8_enabled():
+            return int8_matmul(x, self.kernel,
+                               self.bias if self.use_bias else None,
+                               self.dtype)
+        y = jnp.dot(x.astype(self.dtype), self.kernel.astype(self.dtype))
+        if self.use_bias:
+            y = y + self.bias.astype(self.dtype)
+        return y
+
+
+def _dense_tail(dense: "_DenseParams", h, res, ls_gamma, tail_ln, gelu: bool):
+    """res + ls⊙(dense(act(h))) [+ LayerNorm] via the ops.mlp_tail Pallas
+    kernel, LayerScale folded into the weights (a per-column scale commutes
+    with the matmul). Returns (x', LN(x')) when tail_ln is given, else x'."""
+    from ..ops.mlp_tail import mlp_tail
+
+    w = dense.kernel
+    b = dense.bias if dense.use_bias else jnp.zeros((dense.features,),
+                                                    jnp.float32)
+    if ls_gamma is not None:
+        w = w * ls_gamma[None, :]
+        b = b * ls_gamma
+    h2 = h.reshape(-1, h.shape[-1])
+    r2 = res.reshape(-1, res.shape[-1])
+    if tail_ln is not None:
+        x, y = mlp_tail(h2, w.astype(h2.dtype), b, r2, tail_ln[0], tail_ln[1],
+                        gelu=gelu, ln=True)
+        return x.reshape(res.shape), y.reshape(res.shape)
+    x = mlp_tail(h2, w.astype(h2.dtype), b, r2, gelu=gelu, ln=False)
+    return x.reshape(res.shape)
+
+
 def _qk_shift_from(qp, kp, dh: int):
     """_qk_shift from raw (scale, bias) param pairs (fused path)."""
     bound = qk_logit_bound({"scale": qp[0], "bias": qp[1]},
@@ -133,7 +241,12 @@ class QuantizableDense(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Two-layer GELU MLP."""
+    """Two-layer GELU MLP.
+
+    With ``tail=(res, ls_gamma)`` the caller asks for the fused tail:
+    gelu + fc2 + LayerScale + residual add run in the ops.mlp_tail Pallas
+    kernel (the caller gates on _mlp_tail_enabled()); the returned value is
+    the residual-stream output res + ls⊙fc2(gelu(fc1(x)))."""
     hidden_features: int
     out_features: int
     bias: bool = True
@@ -141,7 +254,14 @@ class Mlp(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tail=None):
+        if tail is not None:
+            fc1 = QuantizableDense(self.hidden_features, use_bias=self.bias,
+                                   dtype=self.dtype, quant=self.quant,
+                                   name="fc1")
+            fc2 = _DenseParams(self.hidden_features, self.out_features,
+                               self.bias, self.dtype, self.quant, name="fc2")
+            return _dense_tail(fc2, fc1(x), tail[0], tail[1], None, gelu=True)
         x = QuantizableDense(self.hidden_features, use_bias=self.bias,
                              dtype=self.dtype, quant=self.quant,
                              name="fc1")(x)
@@ -248,12 +368,17 @@ class Attention(nn.Module):
     seq_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, pos=None, kv=None, pos_kv=None):
+    def __call__(self, x, pos=None, kv=None, pos_kv=None, tail=None):
         """Self-attention over ``x``; with ``kv`` given, queries come from
         ``x`` and keys/values from ``kv`` through the SAME qkv projection
         (KV-compressed global attention: the aggregator's token-merged
         mode feeds anchor-full + pooled tokens here). ``pos_kv`` is the
-        RoPE cache for the kv token set."""
+        RoPE cache for the kv token set.
+
+        ``tail=(res, ls_gamma, ln_scale, ln_bias)`` fuses the output
+        projection with LayerScale + residual add + the following
+        LayerNorm in the ops.mlp_tail Pallas kernel (caller gates on
+        _mlp_tail_enabled()) and returns (x', LN(x'))."""
         B, N, C = x.shape
         h = self.num_heads
         dh = self.dim // h
@@ -262,6 +387,16 @@ class Attention(nn.Module):
                                      name="qkv")
         qkv = qkv_dense(x)
         qkv_k = qkv_dense(kv) if kv is not None else qkv
+        proj = _DenseParams(self.dim, self.dim, self.proj_bias, self.dtype,
+                            self.quant, name="proj")
+
+        def _proj(out):
+            if tail is not None:
+                res, ls_gamma, g2, b2 = tail
+                return _dense_tail(proj, out, res, ls_gamma, (g2, b2),
+                                   gelu=False)
+            return proj(out)
+
         if pos_kv is None:
             pos_kv = pos
         static_max = None
@@ -287,9 +422,7 @@ class Attention(nn.Module):
                               nsplit=nsplit,
                               static_max=_qk_shift_from(qp, kp, dh))
             out = fused_qkv_attention(qkv, **kwargs)
-            return QuantizableDense(self.dim, use_bias=self.proj_bias,
-                                    dtype=self.dtype, quant=self.quant,
-                                    name="proj")(out)
+            return _proj(out)
         if fast:
             from .rope import apply_rope_flat
 
@@ -316,9 +449,7 @@ class Attention(nn.Module):
 
                 out = flat_flash_attention(qf, kf, vf, num_heads=h,
                                            static_max=static_max)
-                return QuantizableDense(self.dim, use_bias=self.proj_bias,
-                                        dtype=self.dtype, quant=self.quant,
-                                        name="proj")(out)
+                return _proj(out)
             q = qf.reshape(B, N, h, dh).swapaxes(1, 2)
             k = kf.reshape(B, nk, h, dh).swapaxes(1, 2)
             v = vf.reshape(B, nk, h, dh).swapaxes(1, 2)
@@ -344,9 +475,7 @@ class Attention(nn.Module):
                 v = jax.lax.all_gather(v, self.seq_axis, axis=2, tiled=True)
         out = scaled_dot_product_attention(q, k, v, static_max=static_max)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
-        return QuantizableDense(self.dim, use_bias=self.proj_bias,
-                                dtype=self.dtype, quant=self.quant,
-                                name="proj")(out)
+        return _proj(out)
 
 
 class CrossAttention(nn.Module):
@@ -393,7 +522,15 @@ class CrossAttention(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-norm ViT block: x + ls1(attn(norm1 x)), x + ls2(mlp(norm2 x))."""
+    """Pre-norm ViT block: x + ls1(attn(norm1 x)), x + ls2(mlp(norm2 x)).
+
+    ``fused_tail=True`` (the frozen scanned backbone sets it) routes both
+    residual tails through the ops.mlp_tail Pallas kernel on TPU:
+    proj+LayerScale+residual+norm2 fuse into the attention epilogue and
+    gelu+fc2+LayerScale+residual into the MLP epilogue — the XLA
+    alternative materializes these as ~82 TF/s output fusions (BENCH.md
+    round-2 profiled breakdown). The kernel path has no VJP; it is only
+    legal where no cotangents flow (the frozen backbone)."""
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
@@ -406,24 +543,48 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     quant: bool = False
     seq_axis: Optional[str] = None
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None, kv=None, pos_kv=None):
-        ls = (lambda name: LayerScale(self.dim, self.init_values, name=name)) \
-            if self.init_values is not None else (lambda name: (lambda t: t))
+        C = self.dim
+        if self.init_values is not None:
+            # the ones-probe returns gamma itself; applying it is then a
+            # plain multiply in either path (bit-identical to LayerScale)
+            ones = jnp.ones((C,), jnp.float32)
+            ls1_g = LayerScale(C, self.init_values, name="ls1")(ones)
+            ls2_g = LayerScale(C, self.init_values, name="ls2")(ones)
+        else:
+            ls1_g = ls2_g = None
         attn = Attention(self.dim, self.num_heads, self.qkv_bias, self.proj_bias,
                          self.qk_norm, self.rope, self.rope_base, self.dtype,
                          quant=self.quant, seq_axis=self.seq_axis, name="attn")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                  quant=self.quant, name="mlp")
         norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm1")
+        g2, b2 = _LNParams(C, name="norm2")()
         y = norm1(x)
         kv_n = norm1(kv) if kv is not None else None
-        x = x + ls("ls1")(attn(y, pos, kv=kv_n, pos_kv=pos_kv))
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
-        x = x + ls("ls2")(Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                              dtype=self.dtype, quant=self.quant,
-                              name="mlp")(y))
-        return x
+        rows = int(np.prod(x.shape[:-1]))
+        sites = _tail_sites() if (
+            self.fused_tail and rows >= _TAIL_MIN_ROWS
+            and not (self.quant and int8_enabled())) else frozenset()
+        if "proj" in sites:
+            x, y2 = attn(y, pos, kv=kv_n, pos_kv=pos_kv,
+                         tail=(x, ls1_g, g2, b2))
+        else:
+            a = attn(y, pos, kv=kv_n, pos_kv=pos_kv)
+            if ls1_g is not None:
+                a = a * ls1_g.astype(a.dtype)
+            x = x + a
+            y2 = ln_apply(x, g2, b2, self.dtype)
+        if "mlp" in sites:
+            return mlp(y2, tail=(x, ls2_g))
+        m = mlp(y2)
+        if ls2_g is not None:
+            m = m * ls2_g.astype(m.dtype)
+        return x + m
 
 
 class CrossAttentionBlock(nn.Module):
