@@ -289,3 +289,69 @@ class TestBlockFusedTail:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-3, rtol=5e-3)
+
+
+class TestSoftmaxShiftModes:
+    """VITSLAM_SOFTMAX_SUB: the bounded-softmax shift subtraction is pure
+    overflow protection — exp2(s - shift) and exp2(s) must produce the
+    same attention output (shift cancels in acc/l) and the same lse
+    (l_nosub = l_sub * 2^shift), across all three bounded kernels."""
+
+    def _both(self, fn, monkeypatch):
+        outs = {}
+        for mode in ("1", "0"):
+            monkeypatch.setenv("VITSLAM_SOFTMAX_SUB", mode)
+            with pltpu.force_tpu_interpret_mode():
+                outs[mode] = fn()
+        return outs["1"], outs["0"]
+
+    def test_fused_qkv_both_modes_agree(self, monkeypatch):
+        h, dh = 2, 32
+        qkv, cos, sin, q_ln, k_ln = _mk(640, h, dh)
+        a, b = self._both(
+            lambda: fused_qkv_attention(qkv, num_heads=h, cos=cos, sin=sin,
+                                        q_ln=q_ln, k_ln=k_ln, static_max=8.0),
+            monkeypatch)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3)
+
+    def test_flat_flash_both_modes_agree(self, monkeypatch):
+        from vitslam_tpu.ops.fused_attention import flat_flash_attention
+
+        rng = np.random.default_rng(11)
+        C = 128
+        q = jnp.asarray(rng.normal(size=(1, 650, C)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 650, C)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 650, C)), jnp.float32)
+        a, b = self._both(
+            lambda: flat_flash_attention(q, k, v, num_heads=2,
+                                         static_max=16.0, block_q=256,
+                                         block_k=256),
+            monkeypatch)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3)
+
+    def test_flash_bounded_lse_both_modes_agree(self, monkeypatch):
+        """lse must be the SAME value either way: the backward kernels
+        reconstruct p = exp2(s - lse) from it."""
+        from vitslam_tpu.ops.flash_attention import _flash_forward
+
+        rng = np.random.default_rng(5)
+        d = 64
+        q = jnp.asarray(rng.normal(size=(2, 300, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(2, 300, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(2, 300, d)), jnp.bfloat16)
+        smax = jnp.asarray([16.0], jnp.float32)
+
+        outs = {}
+        for mode in ("1", "0"):
+            monkeypatch.setenv("VITSLAM_SOFTMAX_SUB", mode)
+            with pltpu.force_tpu_interpret_mode():
+                outs[mode] = _flash_forward(q, k, v, smax, 1.0 / np.sqrt(d),
+                                            1024, 1024, True, with_lse=True)
+        (o1, lse1), (o0, lse0) = outs["1"], outs["0"]
+        np.testing.assert_allclose(np.asarray(o1, np.float32),
+                                   np.asarray(o0, np.float32),
+                                   atol=5e-3, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(lse1), np.asarray(lse0),
+                                   atol=1e-3, rtol=1e-3)

@@ -62,10 +62,55 @@ def _row_max(s):
     return jnp.max(s, axis=-1, keepdims=True)
 
 
+# no-sub safety envelope, log2 domain: l accumulates up to Nk * 2^smax and
+# must stay < 2^127 (fp32/bf16 exponent range); Nk <= ~128k = 2^17 leaves
+# headroom at 100
+_NOSUB_SAFE_LOG2 = 100.0
+
+
+def _softmax_shift_mode() -> str:
+    """How bounded-logit kernels treat the static softmax shift.
+
+    The shift cancels exactly in out = acc/l (and lse = log2(l) already
+    carries it: l_nosub = l_sub * 2^shift), so the per-logit subtraction
+    is pure overflow protection; skipping it removes one VPU pass per
+    logit from the softmax's three (sub, exp2, cast). exp2(s) with
+    |s| <= smax stays finite whenever smax < ~127 - log2(Nk) in the log2
+    domain (~80 nats) — true for every O(1)-gain qk-norm in practice, but
+    not provable at trace time (the bound is computed from the learned
+    gains at runtime, nn/layers.py::_qk_shift).
+
+    VITSLAM_SOFTMAX_SUB = auto (default): a lax.cond on the traced shift
+    picks the no-sub kernel when smax < _NOSUB_SAFE_LOG2 and the shifted
+    kernel otherwise (both variants compile; the branch is one scalar
+    compare at dispatch) | 1/sub: always subtract (round-2 behavior) |
+    0/nosub: always skip (caller guarantees the bound)."""
+    env = os.environ.get("VITSLAM_SOFTMAX_SUB", "auto")
+    if env in ("1", "sub"):
+        return "sub"
+    if env in ("0", "nosub"):
+        return "nosub"
+    return "auto"
+
+
+def _dispatch_shift_variants(call, smax, mode: str):
+    """call(sub_shift: bool) -> out; picks the variant per _softmax_shift
+    _mode, branching at runtime on the log2-domain shift scalar in auto
+    mode. Pallas custom-calls are not speculatable, so XLA keeps the cond
+    a real branch (never a compute-both select)."""
+    if mode == "sub":
+        return call(True)
+    if mode == "nosub":
+        return call(False)
+    return jax.lax.cond(smax[0] < _NOSUB_SAFE_LOG2,
+                        lambda: call(False), lambda: call(True))
+
+
 def _flash_kernel(
     smax_ref, q_ref, k_ref, v_ref, o_ref, *refs,
     kv_len: int, block_k: int, needs_mask: bool, bounded: bool,
     mxu_sum: bool, dv: int, single_k: bool, with_lse: bool,
+    sub_shift: bool = True,
 ):
     """One (batch*head, q_block, k_block) grid step of flash attention.
 
@@ -92,8 +137,10 @@ def _flash_kernel(
         # accumulators (and their per-step init/finalize round trips, which
         # dominate at ~1.4k-token frame/patch-embed shapes) vanish.
         if bounded:
-            shift = smax_ref[0]
-            p = jnp.exp2(s - shift)
+            # shift cancels in pv/l and lse (_softmax_shift_mode) — the
+            # no-sub default drops one VPU pass per logit
+            shift = smax_ref[0] if sub_shift else jnp.float32(0.0)
+            p = jnp.exp2(s - shift) if sub_shift else jnp.exp2(s)
         else:
             # no pad mask needed: padded K rows are zero -> s = 0 there, which
             # only lifts the row max (softmax is shift-invariant, so the
@@ -152,7 +199,7 @@ def _flash_kernel(
         # the learned qk-norm gains at the call site), so exp2 can never
         # overflow even when training drifts the gains or converted weights
         # are loaded.
-        p = jnp.exp2(s - smax_ref[0])
+        p = jnp.exp2(s - smax_ref[0]) if sub_shift else jnp.exp2(s)
         if not mxu_sum:
             l_scratch[:] = l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
@@ -171,11 +218,15 @@ def _flash_kernel(
             acc = acc_scratch[:]
             if bounded and needs_mask:
                 # exact removal of the zero-padded keys' softmax mass
+                # (each padded key contributes exp2(0 - shift), = 1 on the
+                # no-sub path)
                 n_pad = nkb * block_k - kv_len
-                l = l - n_pad * jnp.exp2(-smax_ref[0])
+                l = l - (n_pad * jnp.exp2(-smax_ref[0]) if sub_shift
+                         else jnp.float32(n_pad))
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         if with_lse:
-            shift = smax_ref[0] if bounded else m_scratch[:]
+            shift = ((smax_ref[0] if sub_shift else jnp.float32(0.0))
+                     if bounded else m_scratch[:])
             lse_ref[0] = shift + jnp.log2(jnp.maximum(l, 1e-30))
 
 
@@ -265,33 +316,40 @@ def _flash_forward(q, k, v, smax, scale, block_q, block_k, bounded,
                      pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((bh, nq_pad, 1), jnp.float32)]
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, kv_len=nk, block_k=block_k,
-            needs_mask=(nk_pad != nk), bounded=bounded, mxu_sum=mxu_sum,
-            dv=dv,
-            single_k=(nk_pad // block_k == 1
-                      and os.environ.get("VITSLAM_FLASH_SINGLE_K", "1") == "1"),
-            with_lse=with_lse,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, dv_in), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, dv_in), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(smax, q, k, v)
+    def call(sub_shift):
+        return pl.pallas_call(
+            functools.partial(
+                _flash_kernel, kv_len=nk, block_k=block_k,
+                needs_mask=(nk_pad != nk), bounded=bounded, mxu_sum=mxu_sum,
+                dv=dv,
+                single_k=(nk_pad // block_k == 1
+                          and os.environ.get("VITSLAM_FLASH_SINGLE_K", "1")
+                          == "1"),
+                with_lse=with_lse, sub_shift=sub_shift,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dv_in), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, dv_in), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(smax, q, k, v)
+
+    if bounded:
+        out = _dispatch_shift_variants(call, smax, _softmax_shift_mode())
+    else:
+        out = call(True)  # online-max path: sub_shift is never read
     if with_lse:
         return out[0][:, :nq], out[1][:, :nq]
     return out[:, :nq]

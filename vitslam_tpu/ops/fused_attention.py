@@ -48,6 +48,8 @@ from .flash_attention import (
     _single_k_blocks,
 )
 
+from .flash_attention import _dispatch_shift_variants, _softmax_shift_mode
+
 _LN_EPS = 1e-6
 
 
@@ -74,7 +76,7 @@ def _fused_kernel(
     smax_ref, q_ref, k_ref, v_ref, *refs,
     kv_len: int, block_k: int, needs_mask: bool, bounded: bool,
     single_k: bool, do_ln: bool, do_rope: bool, qscale: float, dh: int,
-    heads_per_block: int,
+    heads_per_block: int, sub_shift: bool,
 ):
     """One (batch*head_group, q_block, k_block) grid step.
 
@@ -140,8 +142,12 @@ def _fused_kernel(
         vv = jnp.concatenate([v, ones], axis=1)
 
         if single_k:
-            shift = smax_ref[0] if bounded else _row_max(s)
-            p = jnp.exp2(s - shift).astype(jnp.bfloat16)
+            if bounded and not sub_shift:
+                # shift cancels in pv/den (_softmax_shift_mode docstring)
+                p = jnp.exp2(s).astype(jnp.bfloat16)
+            else:
+                shift = smax_ref[0] if bounded else _row_max(s)
+                p = jnp.exp2(s - shift).astype(jnp.bfloat16)
             pv = jax.lax.dot_general(
                 p, vv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -151,7 +157,8 @@ def _fused_kernel(
 
         gsl = slice(g, g + 1)
         if bounded:
-            p = jnp.exp2(s - smax_ref[0]).astype(jnp.bfloat16)
+            p = (jnp.exp2(s - smax_ref[0]) if sub_shift
+                 else jnp.exp2(s)).astype(jnp.bfloat16)
             pv = jax.lax.dot_general(
                 p, vv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -250,27 +257,34 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
         in_specs += [pl.BlockSpec((dh, dh), lambda b, i, j: (0, 0))]
         args += [rot]
 
-    out = pl.pallas_call(
-        functools.partial(
-            _fused_kernel, kv_len=N, block_k=block_k,
-            needs_mask=(n_pad != N), bounded=bounded,
-            single_k=(n_pad // block_k == 1), do_ln=do_ln, do_rope=do_rope,
-            qscale=scale * _LOG2E, dh=dh, heads_per_block=G,
-        ),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, gd),
-                               lambda b, i, j: (b // h2, i, b % h2)),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), qkv.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, G), jnp.float32),
-            pltpu.VMEM((block_q, G), jnp.float32),
-            pltpu.VMEM((block_q, gd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(*args)
+    def call(sub_shift):
+        return pl.pallas_call(
+            functools.partial(
+                _fused_kernel, kv_len=N, block_k=block_k,
+                needs_mask=(n_pad != N), bounded=bounded,
+                single_k=(n_pad // block_k == 1), do_ln=do_ln,
+                do_rope=do_rope, qscale=scale * _LOG2E, dh=dh,
+                heads_per_block=G, sub_shift=sub_shift,
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, block_q, gd),
+                                   lambda b, i, j: (b // h2, i, b % h2)),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad, C), qkv.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, G), jnp.float32),
+                pltpu.VMEM((block_q, G), jnp.float32),
+                pltpu.VMEM((block_q, gd), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(*args)
+
+    if bounded:
+        out = _dispatch_shift_variants(call, args[0], _softmax_shift_mode())
+    else:
+        out = call(True)  # online-max path: sub_shift is never read
     return out[:, :N]
 
 
@@ -339,7 +353,7 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def _flat_stream_kernel(
     smax_ref, q_ref, k_ref, v_ref, o_ref, l_scratch, acc_scratch, *,
-    n_pad_keys: int, dh: int, heads_per_block: int,
+    n_pad_keys: int, dh: int, heads_per_block: int, sub_shift: bool,
 ):
     """Streaming flash attention over PRE-PREPPED flat-layout q/k/v.
 
@@ -381,7 +395,10 @@ def _flat_stream_kernel(
                 q_tile[:, sl], k_tile[ks, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (block_q, inner) log2-domain logits (scale pre-folded)
-            p = jnp.exp2(s - shift).astype(jnp.bfloat16)
+            # shift cancels in acc/l (_softmax_shift_mode docstring) —
+            # default skips the per-logit sub, one fewer VPU pass
+            p = (jnp.exp2(s - shift) if sub_shift
+                 else jnp.exp2(s)).astype(jnp.bfloat16)
             v = v_tile[ks, sl]
             ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
             pv = jax.lax.dot_general(
@@ -398,7 +415,10 @@ def _flat_stream_kernel(
         # (NO lane concat/slice: a G-slice concat finalize measured ~120us
         # per (batch, q-block) boundary — the whole 31k-token shape's gap
         # to the 103k shape's TF/s)
-        pad_mass = n_pad_keys * jnp.exp2(-shift)
+        # padded keys are zero rows: each contributes exactly exp2(0-shift)
+        # (or exp2(0) = 1 on the no-sub path) to l and nothing to acc
+        pad_mass = (n_pad_keys * jnp.exp2(-shift) if sub_shift
+                    else jnp.float32(n_pad_keys))
         rinv = 1.0 / jnp.maximum(l_scratch[:] - pad_mass, 1e-30)  # (bq, G)
         # (G, G*dh) 0/1 lane-group spread, built from iota (pallas kernels
         # cannot capture host constants)
@@ -434,29 +454,36 @@ def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
         v = jnp.pad(v, ((0, 0), (0, nk_pad - Nk), (0, 0)))
 
     grid = (B * h2, nq_pad // block_q, nk_pad // block_k)
-    out = pl.pallas_call(
-        functools.partial(
-            _flat_stream_kernel, n_pad_keys=nk_pad - Nk, dh=dh,
-            heads_per_block=G,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, gd), lambda b, i, j: (b // h2, i, b % h2)),
-            pl.BlockSpec((1, block_k, gd), lambda b, i, j: (b // h2, j, b % h2)),
-            pl.BlockSpec((1, block_k, gd), lambda b, i, j: (b // h2, j, b % h2)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, gd),
-                               lambda b, i, j: (b // h2, i, b % h2)),
-        out_shape=jax.ShapeDtypeStruct((B, nq_pad, C), v.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, G), jnp.float32),
-            pltpu.VMEM((block_q, gd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(smax, q, k, v)
+
+    def call(sub_shift):
+        return pl.pallas_call(
+            functools.partial(
+                _flat_stream_kernel, n_pad_keys=nk_pad - Nk, dh=dh,
+                heads_per_block=G, sub_shift=sub_shift,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_q, gd),
+                             lambda b, i, j: (b // h2, i, b % h2)),
+                pl.BlockSpec((1, block_k, gd),
+                             lambda b, i, j: (b // h2, j, b % h2)),
+                pl.BlockSpec((1, block_k, gd),
+                             lambda b, i, j: (b // h2, j, b % h2)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, gd),
+                                   lambda b, i, j: (b // h2, i, b % h2)),
+            out_shape=jax.ShapeDtypeStruct((B, nq_pad, C), v.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, G), jnp.float32),
+                pltpu.VMEM((block_q, gd), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(smax, q, k, v)
+
+    out = _dispatch_shift_variants(call, smax, _softmax_shift_mode())
     return out[:, :Nq]
 
 
