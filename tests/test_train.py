@@ -179,3 +179,37 @@ class TestTrainStep:
             state, sharded_chunks, sharded_merged, jax.random.PRNGKey(1)
         )
         assert np.isfinite(float(metrics["objective"]))
+
+    def test_model_axis_tensor_parallel_step(self, train_setup):
+        """num_model_shards path (parallel/mesh.py::shard_params_model):
+        2-D and scan-stacked 3-D kernels shard their out dim over 'model';
+        the train step must run and match the unsharded objective."""
+        from jax.sharding import PartitionSpec as P
+        from vitslam_tpu.parallel import (
+            make_mesh, shard_batch, shard_params_model,
+        )
+
+        model, params, chunks, merged = train_setup
+        mesh = make_mesh(n_data=2, n_model=2)
+        loss = MultitaskLoss(**LOSS_CFG)
+        tx, _ = build_optimizer(max_lr=1e-3, total_steps=100)
+        trainable, frozen = partition_params(params["params"], FREEZE)
+        state = TrainState(trainable=trainable, frozen=frozen,
+                           opt_state=tx.init(trainable), step=jnp.asarray(0))
+        step_fn = make_train_step(model, loss, tx, num_overlap=1,
+                                  gt_alignment_type="scale_from_depths",
+                                  donate=False)
+        _, ref_metrics = step_fn(state, chunks, merged, jax.random.PRNGKey(1))
+
+        sharded = shard_params_model(state, mesh)
+        # the big kernels actually sharded over 'model'
+        specs = [x.sharding.spec for x in jax.tree_util.tree_leaves(
+            sharded.frozen) if getattr(x, "ndim", 0) >= 2]
+        assert any(sp and sp[-1] == "model" for sp in specs)
+        new_state, metrics = step_fn(
+            sharded, tuple(shard_batch(c, mesh) for c in chunks),
+            shard_batch(merged, mesh), jax.random.PRNGKey(1),
+        )
+        np.testing.assert_allclose(float(metrics["objective"]),
+                                   float(ref_metrics["objective"]),
+                                   rtol=1e-5)

@@ -4,10 +4,11 @@ from .mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    shard_params_model,
     sync_global_devices,
 )
 
 __all__ = [
     "batch_sharding", "make_mesh", "replicate", "shard_batch",
-    "sync_global_devices", "sequence_parallel_encode",
+    "shard_params_model", "sync_global_devices", "sequence_parallel_encode",
 ]

@@ -115,8 +115,16 @@ class Trainer:
         )
         self.resume = bool(ckpt_cfg.get("resume_from_checkpoint", False))
 
+        # num_model_shards > 1 = tensor parallelism: param tensors shard
+        # their out dim over the 'model' mesh axis (parallel/mesh.py::
+        # shard_params_model; docs/POD_TRAINING.md) — for backbones too
+        # big for one chip's HBM. num_devices counts TOTAL local devices.
         n_dev = int(cfg.get("num_devices", 0)) or None
-        self.mesh = make_mesh(n_data=n_dev, n_model=1)
+        self.n_model = int(cfg.get("num_model_shards", 1))
+        self.mesh = make_mesh(
+            n_data=(n_dev // self.n_model if n_dev else None),
+            n_model=self.n_model,
+        )
         self.seed = int(cfg.get("seed_value", 42))
         # rank-offset seeding (run_model.py:475-476)
         self.rng_np = np.random.default_rng(
@@ -143,6 +151,10 @@ class Trainer:
             trainable=trainable, frozen=frozen,
             opt_state=self.tx.init(trainable), step=jnp.asarray(0),
         )
+        if self.n_model > 1:
+            from ..parallel import shard_params_model
+
+            self.state = shard_params_model(self.state, self.mesh)
         if self.resume:
             path = self.ckpt.resume_path()
             if path:
