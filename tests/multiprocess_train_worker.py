@@ -55,7 +55,10 @@ def main():
                 x.shape, sharding, lambda idx: x[idx])
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
 
-    objectives, state = run_steps(build_case(), globalize, mesh)
+    objectives, state = run_steps(
+        build_case(), globalize, mesh,
+        barrier=lambda: sync_global_devices("step-compiled"),
+    )
     for i, obj in enumerate(objectives):
         print(f"worker {pid}: step {i} objective {obj:.6f}", flush=True)
 

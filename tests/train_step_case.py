@@ -44,10 +44,17 @@ def build_case():
     return model, params, loss, tx, chunks, merged
 
 
-def run_steps(case, globalize, mesh, n_steps: int = 2):
+def run_steps(case, globalize, mesh, n_steps: int = 2, barrier=None):
     """Run ``n_steps`` of the full jitted train step with every batch leaf
     passed through ``globalize`` (identity for single-process; global-array
-    construction over a process-spanning mesh for multiprocess)."""
+    construction over a process-spanning mesh for multiprocess).
+
+    ``barrier``: cross-process rendezvous called AFTER the step is
+    AOT-compiled and before the first execution. Gloo's communicator
+    handshake has a hard 30 s KV-store deadline, and per-worker compile
+    times can skew past it (notably when the persistent compile cache
+    misses, e.g. after a host-CPU change) — precompiling then syncing
+    makes both workers enter the first collective together."""
     from vitslam_tpu.train import (
         TrainState, make_train_step, partition_params,
     )
@@ -68,6 +75,9 @@ def run_steps(case, globalize, mesh, n_steps: int = 2):
         model, loss, tx, num_overlap=1,
         gt_alignment_type="scale_from_depths", donate=False,
     )
+    if barrier is not None:
+        step_fn.lower(state, chunks, merged, jax.random.PRNGKey(2)).compile()
+        barrier()
     objectives = []
     for i in range(n_steps):
         state, metrics = step_fn(state, chunks, merged, jax.random.PRNGKey(2))
