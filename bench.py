@@ -30,7 +30,33 @@ BASELINE_FPS = {"feature": 19.0, "point": 15.0, "pose": 15.0,
                 "pose_only": 15.0}
 
 
+def _probe_backend(timeout_s: int) -> None:
+    """Fail fast (exit 2) if the TPU backend cannot initialize.
+
+    The tunneled axon backend HANGS in jax.devices() when the tunnel is
+    down (observed round 3), which would wedge the whole bench run; probe
+    it in a subprocess with a hard deadline instead."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        capture_output=True, timeout=timeout_s or None,
+    )
+    if r.returncode != 0:
+        sys.stderr.write(
+            "bench.py: TPU backend failed to initialize:\n"
+            + r.stderr.decode()[-2000:] + "\n")
+        sys.exit(2)
+
+
 def main():
+    try:
+        _probe_backend(int(os.environ.get("BENCH_PROBE_TIMEOUT", 600)))
+    except Exception as e:  # subprocess.TimeoutExpired and friends
+        sys.stderr.write(f"bench.py: TPU backend probe timed out/failed "
+                         f"({e!r}); the axon tunnel is likely down\n")
+        sys.exit(2)
+
     import jax
     import jax.numpy as jnp
 
