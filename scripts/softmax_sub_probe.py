@@ -4,7 +4,7 @@ flagship aggregator encode with VITSLAM_SOFTMAX_SUB=1 (per-logit
 `exp2(s - shift)`, round-2 behavior) vs 0 (`exp2(s)`, shift cancelled at
 the acc/l division — one fewer VPU pass per logit).
 
-The env var is read at trace time (ops/fused_attention.py::
+The env var is read at trace time (ops/flash_attention.py::
 _softmax_shift_mode), so one process traces all variants.
 Usage: python scripts/softmax_sub_probe.py [B] [--aspect 1.0|0.3] [--trace]
 """
