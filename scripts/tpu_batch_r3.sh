@@ -30,10 +30,12 @@ run() {
 
 # decision-critical first
 run probe_square python scripts/softmax_sub_probe.py 4
-run bench_feature python bench.py
-run bench_square env BENCH_ASPECT=1.0 python bench.py
-run bench_point env BENCH_MODEL=point python bench.py
-run bench_pose env BENCH_MODEL=pose python bench.py
+# full suite in one run (feature 5/1, point 75/30, pose 75/30, square
+# stress) — bench.py with no env overrides runs all scenarios and emits a
+# combined JSON line with "all_metrics" (VERDICT r3 #2).
+echo "[batch] START suite ($(date -u +%H:%M))" | tee -a "$OUT/status.log"
+timeout 10800 python bench.py > "$OUT/suite.json" 2> "$OUT/suite.log"
+echo "[batch] DONE suite (rc=$?, $(date -u +%H:%M))" | tee -a "$OUT/status.log"
 # nice-to-have tail
 run probe_wide python scripts/softmax_sub_probe.py 4 --aspect 0.3
 run bench_pose_only env BENCH_MODEL=pose_only python bench.py
