@@ -80,12 +80,19 @@ def _softmax_shift_mode() -> str:
     not provable at trace time (the bound is computed from the learned
     gains at runtime, nn/layers.py::_qk_shift).
 
-    VITSLAM_SOFTMAX_SUB = auto (default): a lax.cond on the traced shift
-    picks the no-sub kernel when smax < _NOSUB_SAFE_LOG2 and the shifted
-    kernel otherwise (both variants compile; the branch is one scalar
-    compare at dispatch) | 1/sub: always subtract (round-2 behavior) |
-    0/nosub: always skip (caller guarantees the bound)."""
-    env = os.environ.get("VITSLAM_SOFTMAX_SUB", "auto")
+    MEASURED (v5e, scripts/softmax_sub_probe.py, flagship aggregator
+    B=4 518x518): sub 920.5 ms, nosub 922.1 ms (+0.2%, noise), auto
+    967.8 ms (+5.1% — the lax.cond dispatch itself costs real time).
+    Mosaic evidently hides the subtract inside the exp2 pipeline, so the
+    saved VPU pass buys nothing on-chip. DEFAULT = sub (the round-2
+    measured state); nosub stays as an opt-in for experiments; auto's
+    cond dispatch is kept for API compatibility but never worth it.
+
+    VITSLAM_SOFTMAX_SUB = 1/sub (default): always subtract | 0/nosub:
+    always skip (caller guarantees the bound) | auto: a lax.cond on the
+    traced shift picks no-sub when smax < _NOSUB_SAFE_LOG2 (both
+    variants compile; the branch is one scalar compare at dispatch)."""
+    env = os.environ.get("VITSLAM_SOFTMAX_SUB", "sub")
     if env in ("1", "sub"):
         return "sub"
     if env in ("0", "nosub"):

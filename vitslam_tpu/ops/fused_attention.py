@@ -395,8 +395,8 @@ def _flat_stream_kernel(
                 q_tile[:, sl], k_tile[ks, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (block_q, inner) log2-domain logits (scale pre-folded)
-            # shift cancels in acc/l (_softmax_shift_mode docstring) —
-            # default skips the per-logit sub, one fewer VPU pass
+            # shift cancels in acc/l (_softmax_shift_mode docstring);
+            # measured on-chip: sub vs nosub is a wash, default = sub
             p = (jnp.exp2(s - shift) if sub_shift
                  else jnp.exp2(s)).astype(jnp.bfloat16)
             v = v_tile[ks, sl]
