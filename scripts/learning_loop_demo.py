@@ -1,0 +1,262 @@
+#!/usr/bin/env python
+"""Learning-loop demo (VERDICT r3 Next #6): show the training loop produces
+a model whose trajectory metrics IMPROVE over its random-AlignmentHead
+init, situated against the training-free point/pose-aligned baselines
+running the SAME frozen backbone weights on the same fixture data.
+
+The reference's thesis claim is that the learned feature-space alignment
+beats output-space alignment (~40% RPE, /root/reference/README.md:22); this
+demo reproduces the *shape* of that experiment end-to-end on synthetic
+VKITTI fixtures (real VGGT-1B weights are unfetchable in this environment —
+see PARITY.md "verification gaps"), exercising the full product path:
+fixture -> VKittiDataset -> Trainer.fit (chunk sampling, multi-task loss,
+AdamW, freeze masks) -> checkpoint -> Metrics.compute_full_sequence_metrics.
+
+Usage:
+    python scripts/learning_loop_demo.py [--workdir DIR] [--steps 300]
+        [--platform cpu]
+
+Writes a markdown report to docs/LEARNING_LOOP_DEMO.md (committed) and the
+raw logs under --workdir (not committed).
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import os.path as osp
+import shutil
+import sys
+import time
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# tiny-model override block shared by every config in the demo: the demo
+# must run in minutes on CPU, so the 1B flagship dims shrink to a 2-block
+# backbone at 28x28 (4 patches/frame) — the *structure* (alternating
+# frame/global attention, taps, heads) is unchanged.
+MODEL_OV = [
+    "model.embed_dim=64",
+    "model.depth=2",
+    "model.num_heads=2",
+    "model.patch_embed_depth=1",
+    "model.intermediate_layers=[0, 1, 1, 1]",
+    "model.enable_point=true",
+]
+FEATURE_OV = MODEL_OV + ["model.num_memory_tokens=4"]
+
+
+def _data_ov(split: str, root: str, scene_ids, fix_img_num: int = 0):
+    ov = [
+        f"vkitti_dir={root}",
+        "img_size=28",
+        f"data.{split}.common_config.fix_aspect_ratio=1.0",
+        f"data.{split}.dataset_configs_or_datasets.0.sequence_ids={scene_ids}",
+        f"data.{split}.dataset_configs_or_datasets.0.settings=[clone]",
+        f"data.{split}.dataset_configs_or_datasets.0.common_conf.fix_aspect_ratio=1.0",
+    ]
+    if fix_img_num:
+        ov += [
+            f"data.{split}.common_config.fix_img_num={fix_img_num}",
+            f"data.{split}.dataset_configs_or_datasets.0.common_conf.fix_img_num={fix_img_num}",
+            f"data.{split}.img_nums=[{fix_img_num}, {fix_img_num}]",
+        ]
+    return ov
+
+
+def graft_backbone(dst_params, src_params):
+    """Copy every shared top-level module subtree (aggregator, camera_head,
+    point_head, ...) from src into dst so all model families evaluate the
+    SAME backbone weights. Asserts the shared subtrees are structurally
+    identical."""
+    import jax
+    import numpy as np
+
+    d = dict(dst_params["params"])
+    s = src_params["params"]
+    shared = sorted(set(d) & set(s))
+    assert shared, f"no shared modules between {sorted(d)} and {sorted(s)}"
+    for k in shared:
+        ds = jax.tree_util.tree_map(lambda x: x.shape, d[k])
+        ss = jax.tree_util.tree_map(lambda x: x.shape, s[k])
+        assert ds == ss, f"module {k} structure differs:\n{ds}\nvs\n{ss}"
+        d[k] = s[k]
+    return {"params": d}, shared
+
+
+def run_test(cfg_name: str, overrides, params, label: str):
+    from vitslam_tpu.cli import build_from_config
+    from vitslam_tpu.config.loader import compose
+    from vitslam_tpu.train.trainer import Trainer
+
+    cfg = compose(cfg_name, osp.join(REPO, "configs"), overrides=overrides)
+    model, loss, metrics, _, test_data, _ = build_from_config(cfg)
+    trainer = Trainer(cfg, model, loss, val_data=test_data, metrics=metrics,
+                      params=params)
+    t0 = time.time()
+    out = trainer.test()
+    print(f"[demo] test({label}) in {time.time() - t0:.1f}s: "
+          f"{ {k: round(float(v), 4) for k, v in out.items()} }")
+    return model, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/learning_loop_demo")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--report", default=osp.join(REPO, "docs",
+                                                 "LEARNING_LOOP_DEMO.md"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", osp.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import numpy as np
+
+    from vitslam_tpu.cli import build_from_config
+    from vitslam_tpu.config.loader import compose
+    from vitslam_tpu.train.trainer import Trainer
+    from vitslam_tpu.utils.fixtures import write_vkitti_fixture
+
+    if osp.isdir(args.workdir):
+        shutil.rmtree(args.workdir)
+    root = osp.join(args.workdir, "vkitti")
+    # train scene (02) and held-out scene (01), geometrically consistent
+    write_vkitti_fixture(root, scene="02", setting="clone", n_frames=40,
+                         hw=(56, 84), seed=3)
+    write_vkitti_fixture(root, scene="01", setting="clone", n_frames=16,
+                         hw=(56, 84), seed=5)
+
+    # --- train the feature-aligned model --------------------------------
+    train_ov = (
+        FEATURE_OV
+        + _data_ov("train", root, '["02"]')
+        + _data_ov("val", root, '["01"]', fix_img_num=14)
+        + [
+            "seed_value=0",
+            f"max_steps={args.steps}",
+            f"val_epoch_freq={args.steps}",
+            "max_img_per_gpu=12",
+            "data.train.img_nums=[8, 12]",
+            "chunk_width=[4, 6]",
+            "num_overlap=[1, 2]",
+            "shape_buckets=[[4, 1], [6, 2]]",
+            f"checkpoint.save_dir={args.workdir}/ckpt",
+            f"checkpoint.save_freq={args.steps}",
+            "checkpoint.resume_from_checkpoint=false",
+            f"logging.log_dir={args.workdir}/logs",
+            "logging.log_freq=10",
+            # the backbone heads stay frozen (reference freeze list,
+            # train_...yaml) — point_head too, so the training-free
+            # baselines below see exactly the weights training saw
+            "optim.frozen_module_names=[\"*aggregator*\", \"*camera_head*\","
+            " \"*depth_head*\", \"*point_head*\"]",
+        ]
+    )
+    cfg = compose("train_featureAlignedVGGT_vkitti", osp.join(REPO, "configs"),
+                  overrides=train_ov)
+    model, loss, metrics, train_data, val_data, _ = build_from_config(cfg)
+    trainer = Trainer(cfg, model, loss, train_data=train_data,
+                      val_data=val_data, metrics=metrics,
+                      shape_buckets=cfg.get("shape_buckets"))
+    first = next(train_data.get_loader(epoch=0))
+    trainer.init_state(first)
+    init_params = copy.deepcopy(trainer.current_params())
+    print(f"[demo] training {args.steps} steps on Scene02 fixture ...")
+    t0 = time.time()
+    trainer.fit()
+    train_secs = time.time() - t0
+    trained_params = trainer.current_params()
+    print(f"[demo] trained in {train_secs:.1f}s")
+
+    # --- evaluate all four on the SAME backbone weights -----------------
+    eval_scenes = '["01", "02"]'
+    feat_test_ov = (
+        FEATURE_OV
+        + _data_ov("test", root, eval_scenes, fix_img_num=14)
+        + ["seed_value=0", f"logging.log_dir={args.workdir}/logs_eval"]
+    )
+    _, m_init = run_test("test_featureAlignedVGGT_vkitti", feat_test_ov,
+                         init_params, "feature@init")
+    _, m_trained = run_test("test_featureAlignedVGGT_vkitti", feat_test_ov,
+                            trained_params, "feature@trained")
+
+    results = {"feature_init": m_init, "feature_trained": m_trained}
+    for name, cfg_name in (("point", "test_pointAlignedWrappedVGGT_vkitti"),
+                           ("pose", "test_poseAlignedWrappedVGGT_vkitti")):
+        base_ov = (
+            MODEL_OV
+            + _data_ov("test", root, eval_scenes, fix_img_num=14)
+            + ["seed_value=0", "chunk_width=[5, 5]", "num_overlap=[1, 1]",
+               f"logging.log_dir={args.workdir}/logs_eval"]
+        )
+        if name == "pose":
+            # pose-aligned disables the point head; keep the shared modules
+            base_ov = [o for o in base_ov if "enable_point" not in o]
+        bcfg = compose(cfg_name, osp.join(REPO, "configs"), overrides=base_ov)
+        bmodel, bloss, bmetrics, _, btest, _ = build_from_config(bcfg)
+        bparams = jax.jit(bmodel.init, static_argnums=(2,))(
+            jax.random.PRNGKey(99),
+            np.zeros((1, 5, 3, 28, 28), np.float32), 1)
+        bparams, shared = graft_backbone(bparams, init_params)
+        print(f"[demo] {name}-aligned shares backbone modules: {shared}")
+        btrainer = Trainer(bcfg, bmodel, bloss, val_data=btest,
+                           metrics=bmetrics, params=bparams)
+        results[name] = btrainer.test()
+        print(f"[demo] test({name}) "
+              f"{ {k: round(float(v), 4) for k, v in results[name].items()} }")
+
+    # --- report ----------------------------------------------------------
+    metric_keys = sorted({k for m in results.values() for k in m
+                          if any(t in k for t in ("ATE", "RPE", "Scale"))})
+    lines = [
+        "# Learning-loop demo: trained feature alignment vs training-free "
+        "baselines",
+        "",
+        f"Generated by `python scripts/learning_loop_demo.py --steps "
+        f"{args.steps} --platform {args.platform}` "
+        f"(train: {train_secs:.0f}s).",
+        "",
+        "All four rows run the **same frozen random-init backbone** "
+        "(aggregator/camera/depth/point heads grafted from the feature-"
+        "aligned init); only the AlignmentHead differs (random vs trained "
+        f"{args.steps} steps on the Scene02 fixture; Scene01 is held out). "
+        "Synthetic fixture data — this validates the LOOP, not real-world "
+        "quality (real VGGT-1B weights are unfetchable here; PARITY.md).",
+        "",
+        "| metric | feature@init | feature@trained | point-aligned | "
+        "pose-aligned |",
+        "|---|---|---|---|---|",
+    ]
+    for k in metric_keys:
+        row = [k]
+        for col in ("feature_init", "feature_trained", "point", "pose"):
+            v = results[col].get(k)
+            row.append("—" if v is None else f"{float(v):.4f}")
+        lines.append("| " + " | ".join(row) + " |")
+    # headline deltas
+    def mean_over(m, tag):
+        vs = [float(v) for k, v in m.items() if k.endswith(tag)]
+        return sum(vs) / len(vs) if vs else float("nan")
+
+    for tag in ("ATE", "RPE_trans", "RPE_rot"):
+        a, b = mean_over(m_init, tag), mean_over(m_trained, tag)
+        if np.isfinite(a) and np.isfinite(b) and a > 0:
+            lines.append("")
+            lines.append(f"- mean {tag}: init {a:.4f} -> trained {b:.4f} "
+                         f"({100 * (a - b) / a:+.1f}% improvement)")
+    report = "\n".join(lines) + "\n"
+    os.makedirs(osp.dirname(args.report), exist_ok=True)
+    with open(args.report, "w") as f:
+        f.write(report)
+    print(f"[demo] report written to {args.report}")
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,22 @@ class TestConfig:
         assert cfg.name == "exp_2"
         assert cfg.shared.x == 10
 
+    def test_overrides_before_interpolation(self, tmp_path):
+        """--set overrides land pre-interpolation (hydra semantics) and
+        support list indices."""
+        (tmp_path / "exp.yaml").write_text(
+            "a: 1\nb: ${a}\nitems:\n  - name: x\n    size: ${a}\n"
+        )
+        cfg = compose("exp", str(tmp_path),
+                      overrides=["a=7", "items.0.name=y"])
+        assert cfg.a == 7
+        assert cfg.b == 7  # interpolation sees the override
+        assert cfg["items"][0]["name"] == "y"
+        assert cfg["items"][0]["size"] == 7
+        # dict form too
+        cfg = compose("exp", str(tmp_path), overrides={"a": 3})
+        assert cfg.b == 3
+
     def test_instantiate(self):
         node = {
             "_target_": "vitslam_tpu.train.losses.MultitaskLoss",

@@ -60,6 +60,35 @@ def test_fused_matches_reference(nq, with_ln, with_rope, smax):
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("nq,with_ln,with_rope,smax", [
+    (130, True, True, 8.0),     # ragged, bounded: row mask + fixed shift
+    (256, True, True, 8.0),     # exact block fit
+    (130, False, False, None),  # online-max path: axis-0 max in tns layout
+    (640, True, True, 8.0),     # multiple q blocks over one K tile
+])
+def test_fused_tns_matches_reference(nq, with_ln, with_rope, smax,
+                                     monkeypatch):
+    """VITSLAM_FUSED_TNS=1 (transposed whole-K values matmul) is the same
+    math as the std single-k path on every shape class."""
+    monkeypatch.setenv("VITSLAM_FUSED_TNS", "1")
+    h, dh = 2, 32
+    qkv, cos, sin, q_ln, k_ln = _mk(nq, h, dh, with_ln=with_ln,
+                                    with_rope=with_rope)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_qkv_attention(qkv, num_heads=h, cos=cos, sin=sin,
+                                  q_ln=q_ln, k_ln=k_ln, static_max=smax)
+    zero = jnp.zeros((dh,), jnp.float32)
+    want = _fused_reference(
+        qkv, cos if cos is not None else jnp.zeros((2, nq, dh)),
+        sin if sin is not None else jnp.zeros((2, nq, dh)),
+        *(q_ln if q_ln else (zero, zero)), *(k_ln if k_ln else (zero, zero)),
+        num_heads=h, scale=1.0 / np.sqrt(dh), nsplit=2,
+        do_ln=with_ln, do_rope=with_rope)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_fused_gradient_runs_and_matches_reference():
     h, dh = 2, 32
     qkv, cos, sin, q_ln, k_ln = _mk(130, h, dh)
@@ -149,6 +178,16 @@ class TestFlatFlashLargeN:
 
     def test_cross_length_kv(self):
         got, want = self._run(640, 4352)  # Nk != Nq (KV-merged shape)
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    @pytest.mark.parametrize("nq,nk", [(4352, 4352), (4250, 4250),
+                                       (640, 4352)])
+    def test_transposed_kernel_matches_softmax(self, nq, nk, monkeypatch):
+        """VITSLAM_FLAT_TNS=1 (full-lane transposed values matmul,
+        _flat_stream_tns_kernel) is bit-for-purpose identical math —
+        same tolerance as the std kernel on every shape class."""
+        monkeypatch.setenv("VITSLAM_FLAT_TNS", "1")
+        got, want = self._run(nq, nk)
         np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
     def test_backward_runs_and_matches_reference_grad(self):

@@ -5,49 +5,25 @@ train step over a process-spanning 4-device 'data' mesh, exercises the
 barriers), and asserts the distributed objective matches a single-process
 run of the identical case. The reference's equivalent is Lightning
 multi-node DDP (training/run_model.py:472)."""
-import os
 import os.path as osp
 import re
-import socket
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
+from vitslam_tpu.parallel import python_worker_argv, spawn_gang
 
 
 @pytest.mark.slow
 def test_two_process_train_step_matches_single_process():
     worker = osp.join(osp.dirname(osp.abspath(__file__)),
                       "multiprocess_train_worker.py")
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=1800)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out[-6000:]}"
+    # port-retried gang launch (rendezvous races relaunch on a fresh port)
+    outs, _ = spawn_gang(
+        lambda pid, port: python_worker_argv(worker, pid, port),
+        num_processes=2, timeout=1800.0, retries=2,
+    )
+    for i, out in enumerate(outs):
         assert f"worker {i}: OK" in out
 
     # both processes saw identical (replicated) objectives

@@ -6,47 +6,27 @@ resume link (reference crash-resume semantics, training/run_model.py:52-114
 collective write)."""
 import os
 import os.path as osp
-import socket
-import subprocess
-import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
+from vitslam_tpu.parallel import python_worker_argv, spawn_gang
 
 
 def test_two_process_sharded_save_resume(tmp_path):
     worker = osp.join(osp.dirname(osp.abspath(__file__)),
                       "sharded_ckpt_worker.py")
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+    # port-retried gang launch (rendezvous races relaunch on a fresh port)
+    # per-attempt subdir (keyed by the rendezvous port) so a retried gang
+    # never restores a half-written checkpoint from the failed attempt
+    outs, _ = spawn_gang(
+        lambda pid, port: python_worker_argv(
+            worker, pid, port, tmp_path / f"attempt_{port}"),
+        num_processes=2, timeout=300.0, retries=2,
+    )
+    for i, out in enumerate(outs):
         assert f"worker {i}: OK" in out
 
 

@@ -17,16 +17,6 @@ import os
 import sys
 
 
-def _set_dotted(cfg: dict, dotted: str, value: str):
-    import yaml
-
-    keys = dotted.split(".")
-    node = cfg
-    for k in keys[:-1]:
-        node = node[k]
-    node[keys[-1]] = yaml.safe_load(value)
-
-
 def build_from_config(cfg):
     """Instantiate (model, loss, metrics, train_data, val/test_data,
     initial params) from a composed config."""
@@ -42,7 +32,10 @@ def build_from_config(cfg):
     train_data = instantiate(data_cfg["train"]) if "train" in data_cfg else None
     val_data = None
     for split in ("val", "test"):
-        if split in data_cfg:
+        # default_dataset.yaml ships datasets-less val/test TEMPLATES
+        # (common_config only); only instantiate a split the experiment
+        # actually filled with datasets
+        if data_cfg.get(split, {}).get("dataset_configs_or_datasets"):
             val_data = instantiate(data_cfg[split])
     if train_data is not None:
         train_data.seed = int(cfg.get("seed_value", 42))
@@ -108,10 +101,9 @@ def main(argv=None):
     from .config.loader import compose
     from .train.trainer import Trainer
 
-    cfg = compose(args.config, args.config_dir)
-    for ov in args.overrides:
-        key, _, val = ov.partition("=")
-        _set_dotted(cfg, key, val)
+    # overrides land pre-interpolation (hydra semantics), so e.g.
+    # --set img_size=140 reaches every ${img_size} consumer
+    cfg = compose(args.config, args.config_dir, overrides=args.overrides)
     if args.num_devices:
         cfg["num_devices"] = args.num_devices
 

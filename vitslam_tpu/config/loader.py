@@ -80,9 +80,29 @@ def _interpolate(node, root):
     return node
 
 
-def compose(config_name: str, config_dir: str = "configs") -> DotDict:
+def set_dotted(cfg, dotted: str, value):
+    """Set ``a.b.0.c``-style paths (integers index into lists). Values are
+    parsed as YAML when given as strings (hydra override semantics)."""
+    keys = dotted.split(".")
+    node: Any = cfg
+    for k in keys[:-1]:
+        node = node[int(k)] if isinstance(node, list) else node[k]
+    last = keys[-1]
+    if isinstance(value, str):
+        value = yaml.safe_load(value)
+    if isinstance(node, list):
+        node[int(last)] = value
+    else:
+        node[last] = value
+
+
+def compose(config_name: str, config_dir: str = "configs",
+            overrides=None) -> DotDict:
     """Load <config_dir>/<config_name>.yaml honoring its defaults list,
-    then resolve interpolations."""
+    apply dotted overrides, then resolve interpolations. Overrides land
+    BEFORE interpolation (hydra semantics: training/run_model.py:432-433),
+    so ``img_size=140`` propagates into every ``${img_size}`` consumer.
+    ``overrides``: dict of dotted-path -> value, or list of "k=v" strings."""
     path = osp.join(config_dir, config_name)
     if not path.endswith(".yaml"):
         path += ".yaml"
@@ -103,6 +123,11 @@ def compose(config_name: str, config_dir: str = "configs") -> DotDict:
             merged = _deep_merge(merged, raw)
     else:
         merged = raw
+    if overrides:
+        items = (overrides.items() if isinstance(overrides, dict)
+                 else [ov.partition("=")[::2] for ov in overrides])
+        for key, val in items:
+            set_dotted(merged, key, val)
     merged = _interpolate(merged, merged)
     return DotDict.wrap(merged)
 

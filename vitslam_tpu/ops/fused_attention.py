@@ -76,7 +76,7 @@ def _fused_kernel(
     smax_ref, q_ref, k_ref, v_ref, *refs,
     kv_len: int, block_k: int, needs_mask: bool, bounded: bool,
     single_k: bool, do_ln: bool, do_rope: bool, qscale: float, dh: int,
-    heads_per_block: int, sub_shift: bool,
+    heads_per_block: int, sub_shift: bool, tns: bool = False,
 ):
     """One (batch*head_group, q_block, k_block) grid step.
 
@@ -128,6 +128,35 @@ def _fused_kernel(
                        qb_ref, do_ln, do_rope) * qscale
         k = _prep_tile(k_tile[:, sl], cosk_ref, sink_ref, rot_ref, ks_ref,
                        kb_ref, do_ln, do_rope)
+        v = v_tile[:, sl]
+        ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
+        vv = jnp.concatenate([v, ones], axis=1)
+
+        if single_k and tns:
+            # transposed-accumulator variant (_flat_stream_tns_kernel's
+            # trick for the whole-K path): S^T = K Q^T, O^T = [V|1]^T P^T
+            # — the values matmul gets full output lanes (block_q) instead
+            # of dh+1 = 65 of 128; one (gd, bq) transpose at the end.
+            s_t = jax.lax.dot_general(
+                k.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # (block_k, block_q)
+            if needs_mask:
+                r = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+                s_t = jnp.where(r < kv_len, s_t, NEG_INF)
+            if bounded and not sub_shift:
+                p_t = jnp.exp2(s_t).astype(jnp.bfloat16)
+            else:
+                shift = (smax_ref[0] if bounded
+                         else jnp.max(s_t, axis=0, keepdims=True))
+                p_t = jnp.exp2(s_t - shift).astype(jnp.bfloat16)
+            pv_t = jax.lax.dot_general(
+                vv, p_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (dh+1, block_q): contraction block_k, full lanes
+            outs.append(pv_t[:dh] / jnp.maximum(pv_t[dh:], 1e-30))
+            continue
+
         s = jax.lax.dot_general(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -137,9 +166,6 @@ def _fused_kernel(
             col = (kb * block_k
                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
             s = jnp.where(col < kv_len, s, NEG_INF)
-        v = v_tile[:, sl]
-        ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
-        vv = jnp.concatenate([v, ones], axis=1)
 
         if single_k:
             if bounded and not sub_shift:
@@ -179,7 +205,10 @@ def _fused_kernel(
             acc_scratch[:, sl] = acc_scratch[:, sl] * alpha + pv[:, :-1]
 
     if single_k:
-        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        if tns:
+            o_ref[0] = jnp.concatenate(outs, axis=0).astype(o_ref.dtype).T
+        else:
+            o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
         return
 
     @pl.when(kb == nkb - 1)
@@ -265,6 +294,7 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
                 single_k=(n_pad // block_k == 1), do_ln=do_ln,
                 do_rope=do_rope, qscale=scale * _LOG2E, dh=dh,
                 heads_per_block=G, sub_shift=sub_shift,
+                tns=os.environ.get("VITSLAM_FUSED_TNS", "0") == "1",
             ),
             grid=grid,
             in_specs=in_specs,
@@ -432,6 +462,76 @@ def _flat_stream_kernel(
         o_ref[0] = (acc_scratch[:] * dinv).astype(o_ref.dtype)
 
 
+def _flat_stream_tns_kernel(
+    smax_ref, q_ref, k_ref, v_ref, o_ref, l_scratch, acc_scratch, *,
+    n_pad_keys: int, dh: int, heads_per_block: int, sub_shift: bool,
+):
+    """Transposed-accumulator variant of _flat_stream_kernel.
+
+    The std kernel's values matmul P (bq, bk) @ [V|1] (bk, dh+1) writes
+    only dh+1 = 65 of 128 output lanes — half the MXU's lane groups idle
+    (scripts/mxu_dot_probe.py: 50.8 vs 68.2 TF/s std vs transposed at the
+    streaming block shape). Here both matmuls run transposed:
+
+        S^T = K Q^T   (bk, bq)  — contraction dh (same cost as S = Q K^T)
+        O^T = [V|1]^T P^T (dh+1, bq) — contraction bk (FULL), lanes bq (FULL)
+
+    so the N^2-sized values matmul gets full lane utilization; the only
+    extra work is one (gd, bq) -> (bq, gd) transpose per q-block at
+    finalize (amortized over all K blocks). l rides row dh of the
+    accumulator exactly like the std kernel's ones column.
+    """
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+    G = heads_per_block
+
+    @pl.when(kb == 0)
+    def _init():
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q_tile = q_ref[0]
+    k_tile = k_ref[0]
+    v_tile = v_ref[0]
+    shift = smax_ref[0]
+    bk = k_tile.shape[0]
+    inner = int(os.environ.get("VITSLAM_FLAT_INNER_K", "0")) or bk
+    for g in range(G):
+        sl = slice(g * dh, (g + 1) * dh)
+        for k0 in range(0, bk, inner):
+            ks = slice(k0, k0 + inner)
+            s_t = jax.lax.dot_general(
+                k_tile[ks, sl], q_tile[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (inner, block_q) log2-domain logits, transposed
+            p_t = (jnp.exp2(s_t - shift) if sub_shift
+                   else jnp.exp2(s_t)).astype(jnp.bfloat16)
+            v = v_tile[ks, sl]  # (inner, dh)
+            ones = jnp.ones((v.shape[0], 1), jnp.bfloat16)
+            pv_t = jax.lax.dot_general(
+                jnp.concatenate([v, ones], axis=1), p_t,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (dh+1, block_q): contraction inner (full), lanes bq (full)
+            acc_scratch[sl, :] = acc_scratch[sl, :] + pv_t[:dh]
+            l_scratch[g:g + 1, :] = l_scratch[g:g + 1, :] + pv_t[dh:]
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        pad_mass = (n_pad_keys * jnp.exp2(-shift) if sub_shift
+                    else jnp.float32(n_pad_keys))
+        rinv = 1.0 / jnp.maximum(l_scratch[:] - pad_mass, 1e-30)  # (G, bq)
+        # sublane-group spread (gd, G): row r selects head r // dh
+        row = jax.lax.broadcasted_iota(jnp.int32, (G * dh, G), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (G * dh, G), 1)
+        spread = (row // dh == col).astype(jnp.float32)
+        dinv = jax.lax.dot_general(
+            spread, rinv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, bq)
+        o_ref[0] = (acc_scratch[:] * dinv).astype(o_ref.dtype).T
+
+
 def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
     B, Nq, C = q.shape
     Nk = k.shape[1]
@@ -454,11 +554,19 @@ def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
         v = jnp.pad(v, ((0, 0), (0, nk_pad - Nk), (0, 0)))
 
     grid = (B * h2, nq_pad // block_q, nk_pad // block_k)
+    # transposed-accumulator kernel (full-lane values matmul); see
+    # _flat_stream_tns_kernel. A/B'd on-chip via VITSLAM_FLAT_TNS.
+    tns = os.environ.get("VITSLAM_FLAT_TNS", "0") == "1"
+    kern = _flat_stream_tns_kernel if tns else _flat_stream_kernel
+    scratch = ([pltpu.VMEM((G, block_q), jnp.float32),
+                pltpu.VMEM((gd, block_q), jnp.float32)] if tns else
+               [pltpu.VMEM((block_q, G), jnp.float32),
+                pltpu.VMEM((block_q, gd), jnp.float32)])
 
     def call(sub_shift):
         return pl.pallas_call(
             functools.partial(
-                _flat_stream_kernel, n_pad_keys=nk_pad - Nk, dh=dh,
+                kern, n_pad_keys=nk_pad - Nk, dh=dh,
                 heads_per_block=G, sub_shift=sub_shift,
             ),
             grid=grid,
@@ -474,10 +582,7 @@ def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
             out_specs=pl.BlockSpec((1, block_q, gd),
                                    lambda b, i, j: (b // h2, i, b % h2)),
             out_shape=jax.ShapeDtypeStruct((B, nq_pad, C), v.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, G), jnp.float32),
-                pltpu.VMEM((block_q, gd), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),

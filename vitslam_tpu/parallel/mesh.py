@@ -51,26 +51,30 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def model_partition_spec(x, n_model: int) -> P:
+    """PartitionSpec for one parameter leaf under model-axis tensor
+    parallelism: 2-D ``(in, out)`` kernels AND nn.scan-stacked 3-D
+    ``(L, in, out)`` backbone kernels (models/aggregator.py) split their
+    out (last) dim; everything else replicates."""
+    if (getattr(x, "ndim", 0) in (2, 3) and x.shape[-1] % n_model == 0
+            and x.shape[-1] >= 2 * n_model):
+        return P(*([None] * (x.ndim - 1) + ["model"]))
+    return P()
+
+
 def shard_params_model(tree, mesh: Mesh):
     """Shard parameter tensors over the ``model`` mesh axis (tensor
-    parallelism): 2-D ``(in, out)`` kernels AND nn.scan-stacked 3-D
-    ``(L, in, out)`` backbone kernels (models/aggregator.py) split their
-    out (last) dim; everything else replicates. XLA inserts the gathers/
+    parallelism) per ``model_partition_spec``. XLA inserts the gathers/
     reductions inside the jitted step. Works on any pytree whose leaves
     mirror param shapes (TrainState including optimizer moments)."""
     n_model = mesh.shape["model"]
     if n_model == 1:
         return tree
 
-    def sharding(x):
-        if (getattr(x, "ndim", 0) in (2, 3) and x.shape[-1] % n_model == 0
-                and x.shape[-1] >= 2 * n_model):
-            return NamedSharding(
-                mesh, P(*([None] * (x.ndim - 1) + ["model"])))
-        return NamedSharding(mesh, P())
-
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding(x)), tree)
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, model_partition_spec(x, n_model))),
+        tree)
 
 
 def sync_global_devices(name: str = "barrier"):
