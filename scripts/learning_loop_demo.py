@@ -113,8 +113,9 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir", osp.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from vitslam_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(REPO, args.platform)
 
     import numpy as np
 

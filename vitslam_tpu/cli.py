@@ -83,14 +83,13 @@ def main(argv=None):
 
     import jax
 
-    # persistent compile cache — via jax.config (sitecustomize imports jax
-    # at interpreter startup, so env vars set here no longer reach it)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.getcwd(), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache, split by platform (cpu AOT blobs are
+    # machine-specific — utils/cache.py)
+    from .utils.cache import enable_compile_cache
+
+    enable_compile_cache(os.getcwd(), args.platform)
     if args.num_nodes > 1:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,

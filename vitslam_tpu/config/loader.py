@@ -124,8 +124,16 @@ def compose(config_name: str, config_dir: str = "configs",
     else:
         merged = raw
     if overrides:
-        items = (overrides.items() if isinstance(overrides, dict)
-                 else [ov.partition("=")[::2] for ov in overrides])
+        if isinstance(overrides, dict):
+            items = list(overrides.items())
+        else:
+            items = []
+            for ov in overrides:
+                key, sep, val = ov.partition("=")
+                if not sep:
+                    raise ValueError(
+                        f"malformed override {ov!r}: expected 'key=value'")
+                items.append((key, val))
         for key, val in items:
             set_dotted(merged, key, val)
     merged = _interpolate(merged, merged)

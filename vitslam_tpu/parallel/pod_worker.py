@@ -28,11 +28,10 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    repo = os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # NO persistent compile cache here: XLA:CPU AOT blobs are
+    # machine-feature-specific, so a cache populated on one host makes
+    # every load on another host fail with feature-mismatch noise
+    # (MULTICHIP_r04 tail). The tiny model compiles fast enough cold.
     jax.distributed.initialize(f"localhost:{port}", num_processes=2,
                                process_id=pid)
 

@@ -45,6 +45,11 @@ def free_port() -> int:
         return s.getsockname()[1]
 
 
+def _has_real_failure(out: str) -> bool:
+    return ("Traceback (most recent call last)" in out
+            or "AssertionError" in out)
+
+
 def _looks_like_rendezvous_failure(out: str) -> bool:
     return any(p in out for p in RENDEZVOUS_PATTERNS)
 
@@ -102,8 +107,15 @@ def spawn_gang(
         last_outs = outs
         if not timed_out and all(p.returncode == 0 for p in procs):
             return outs, port
-        retryable = timed_out or any(
-            _looks_like_rendezvous_failure(o) for o in outs)
+        # A gang is rendezvous-failed (worth relaunching on a fresh port)
+        # only if a rendezvous signature appears and NO worker died with a
+        # real Python failure: when one rank hits a deterministic error,
+        # the surviving rank's coordination-service teardown noise matches
+        # the rendezvous patterns too, and retrying just replays the same
+        # failure at full timeout (ADVICE r4).
+        retryable = timed_out or (
+            not any(_has_real_failure(o) for o in outs)
+            and any(_looks_like_rendezvous_failure(o) for o in outs))
         if not retryable or attempt == retries:
             break
     blob = "\n\n".join(
