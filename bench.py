@@ -57,15 +57,62 @@ def _probe_backend(timeout_s: int) -> None:
 
 
 # Suite scenarios: (tag, env overrides). Chunk counts trimmed for the
-# 75/30 shapes (45 new frames/chunk -> 8 chunks is plenty of steady state).
+# 75/30 shapes (45 new frames/chunk -> 8 chunks is plenty of steady state)
+# and for square_stress (16 chunks; r4's 24-chunk run spent 9 min of chip
+# time on a steady-state number — VERDICT r4 Weak #5), paying for the
+# train scenario (VERDICT r4 Next #6) so total suite wall stays bounded.
 SUITE = [
     ("feature_5_1", {"BENCH_MODEL": "feature"}),
     ("point_75_30", {"BENCH_MODEL": "point", "BENCH_WIDTH": "75",
                      "BENCH_OVERLAP": "30", "BENCH_CHUNKS": "8"}),
     ("pose_75_30", {"BENCH_MODEL": "pose", "BENCH_WIDTH": "75",
                     "BENCH_OVERLAP": "30", "BENCH_CHUNKS": "8"}),
-    ("square_stress", {"BENCH_MODEL": "feature", "BENCH_ASPECT": "1.0"}),
+    ("square_stress", {"BENCH_MODEL": "feature", "BENCH_ASPECT": "1.0",
+                       "BENCH_CHUNKS": "16"}),
+    ("train_w20_o5", {"BENCH_TRAIN": "1"}),
 ]
+
+# Flagship train step, widest reference bucket (chunk 20 / overlap 5,
+# train_featureAlignedVGGT_vkitti.yaml:14-15). The reference publishes no
+# train-throughput number (BASELINE.md: "70k steps, >=1 GPU" only), so
+# vs_baseline is against OUR round-3 on-chip measurement (0.99 s/step,
+# BENCH.md round-3 train table) — a regression guard, not a reference
+# comparison.
+TRAIN_BASELINE_SEC_PER_STEP = 0.99
+
+
+def _run_train_scenario() -> None:
+    """BENCH_TRAIN=1: time the flagship frozen-backbone train step at the
+    w20_o5 bucket via scripts/train_bench.py and print one metric line."""
+    import subprocess
+
+    steps = os.environ.get("BENCH_TRAIN_STEPS", "3")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_bench.py"),
+         "--steps", steps, "--buckets", "20:5", "--descent-steps", "0"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    row = None
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                row = json.loads(ln)
+            except json.JSONDecodeError:
+                pass
+    if row is None or "sec_per_step" not in row:
+        sys.stderr.write(f"bench.py[train]: train_bench failed "
+                         f"(rc={r.returncode}):\n" + r.stderr[-1500:] + "\n")
+        sys.exit(1)
+    sys.stderr.write(f"# train_bench: {json.dumps(row)}\n")
+    print(json.dumps({
+        "metric": "feature_aligned_train_sec_per_step_w20_o5_518x154",
+        "value": row["sec_per_step"],
+        "unit": "sec/step",
+        "vs_baseline": round(
+            TRAIN_BASELINE_SEC_PER_STEP / row["sec_per_step"], 3),
+    }))
 
 
 def _run_suite() -> None:
@@ -127,8 +174,12 @@ def main():
 
     if not any(os.environ.get(k) for k in (
             "BENCH_MODEL", "BENCH_ASPECT", "BENCH_WIDTH", "BENCH_OVERLAP",
-            "BENCH_SMALL")):
+            "BENCH_SMALL", "BENCH_TRAIN")):
         _run_suite()
+        return
+
+    if os.environ.get("BENCH_TRAIN"):
+        _run_train_scenario()
         return
 
     import jax

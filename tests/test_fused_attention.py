@@ -60,17 +60,19 @@ def test_fused_matches_reference(nq, with_ln, with_rope, smax):
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("tns", ["1", "0"])
 @pytest.mark.parametrize("nq,with_ln,with_rope,smax", [
     (130, True, True, 8.0),     # ragged, bounded: row mask + fixed shift
     (256, True, True, 8.0),     # exact block fit
     (130, False, False, None),  # online-max path: axis-0 max in tns layout
     (640, True, True, 8.0),     # multiple q blocks over one K tile
 ])
-def test_fused_tns_matches_reference(nq, with_ln, with_rope, smax,
+def test_fused_tns_matches_reference(nq, with_ln, with_rope, smax, tns,
                                      monkeypatch):
-    """VITSLAM_FUSED_TNS=1 (transposed whole-K values matmul) is the same
-    math as the std single-k path on every shape class."""
-    monkeypatch.setenv("VITSLAM_FUSED_TNS", "1")
+    """Both whole-K accumulators — tns (the round-5 default) and the std
+    layout (VITSLAM_FUSED_TNS=0 opt-out) — are the same math on every
+    shape class."""
+    monkeypatch.setenv("VITSLAM_FUSED_TNS", tns)
     h, dh = 2, 32
     qkv, cos, sin, q_ln, k_ln = _mk(nq, h, dh, with_ln=with_ln,
                                     with_rope=with_rope)
@@ -180,13 +182,16 @@ class TestFlatFlashLargeN:
         got, want = self._run(640, 4352)  # Nk != Nq (KV-merged shape)
         np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
+    @pytest.mark.parametrize("tns", ["1", "0"])
     @pytest.mark.parametrize("nq,nk", [(4352, 4352), (4250, 4250),
                                        (640, 4352)])
-    def test_transposed_kernel_matches_softmax(self, nq, nk, monkeypatch):
-        """VITSLAM_FLAT_TNS=1 (full-lane transposed values matmul,
-        _flat_stream_tns_kernel) is bit-for-purpose identical math —
-        same tolerance as the std kernel on every shape class."""
-        monkeypatch.setenv("VITSLAM_FLAT_TNS", "1")
+    def test_transposed_kernel_matches_softmax(self, nq, nk, tns,
+                                               monkeypatch):
+        """Both streaming accumulators — tns (full-lane transposed values
+        matmul, _flat_stream_tns_kernel, the round-5 default) and the std
+        layout (VITSLAM_FLAT_TNS=0 opt-out) — are identical math on every
+        shape class."""
+        monkeypatch.setenv("VITSLAM_FLAT_TNS", tns)
         got, want = self._run(nq, nk)
         np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 

@@ -286,15 +286,33 @@ def _fused_forward(qkv, cos, sin, qs, qb, ks, kb_, smax, *, num_heads,
         in_specs += [pl.BlockSpec((dh, dh), lambda b, i, j: (0, 0))]
         args += [rot]
 
+    single_k = n_pad // block_k == 1
+    # Transposed-accumulator softmax/PV (the whole-K analogue of
+    # _flat_stream_tns_kernel): DEFAULT ON where it applies — measured
+    # on-chip round 5: feature 5/1 58.9 -> 60.0 FPS, square-518^2 frame
+    # attention 14.1 -> 14.6 (BENCH.md round-5 TNS table). "0" opts out.
+    env_tns = os.environ.get("VITSLAM_FUSED_TNS", "auto")
+    tns = single_k if env_tns == "auto" else env_tns == "1"
+    if tns and not single_k:
+        # The variant only exists for the whole-K (single_k) path; warn on
+        # an EXPLICIT request instead of silently measuring the std
+        # accumulation under a tns flag (ADVICE r4).
+        import warnings
+
+        warnings.warn(
+            f"VITSLAM_FUSED_TNS=1 ignored: N_pad={n_pad} streams K "
+            f"(block_k={block_k}); the tns variant only applies when the "
+            f"whole K fits one block (<=4096 tokens)", stacklevel=2)
+        tns = False
+
     def call(sub_shift):
         return pl.pallas_call(
             functools.partial(
                 _fused_kernel, kv_len=N, block_k=block_k,
                 needs_mask=(n_pad != N), bounded=bounded,
-                single_k=(n_pad // block_k == 1), do_ln=do_ln,
+                single_k=single_k, do_ln=do_ln,
                 do_rope=do_rope, qscale=scale * _LOG2E, dh=dh,
-                heads_per_block=G, sub_shift=sub_shift,
-                tns=os.environ.get("VITSLAM_FUSED_TNS", "0") == "1",
+                heads_per_block=G, sub_shift=sub_shift, tns=tns,
             ),
             grid=grid,
             in_specs=in_specs,
@@ -555,8 +573,10 @@ def _flat_forward(q, k, v, smax, *, num_heads, block_q, block_k):
 
     grid = (B * h2, nq_pad // block_q, nk_pad // block_k)
     # transposed-accumulator kernel (full-lane values matmul); see
-    # _flat_stream_tns_kernel. A/B'd on-chip via VITSLAM_FLAT_TNS.
-    tns = os.environ.get("VITSLAM_FLAT_TNS", "0") == "1"
+    # _flat_stream_tns_kernel. DEFAULT ON — measured on-chip round 5 at
+    # the exact 75/30 setting: point 23.2 -> 26.0 FPS, pose 24.1 -> 26.9
+    # (+12%; BENCH.md round-5 TNS table). VITSLAM_FLAT_TNS=0 opts out.
+    tns = os.environ.get("VITSLAM_FLAT_TNS", "1") == "1"
     kern = _flat_stream_tns_kernel if tns else _flat_stream_kernel
     scratch = ([pltpu.VMEM((G, block_q), jnp.float32),
                 pltpu.VMEM((gd, block_q), jnp.float32)] if tns else
