@@ -134,19 +134,23 @@ def main():
                          hw=(56, 84), seed=5)
 
     # --- train the feature-aligned model --------------------------------
+    # ONE shape bucket + a fixed train frame count: on this 1-core machine
+    # every distinct (img_num, chunk_w, overlap) combination costs a fresh
+    # multi-minute XLA:CPU compile of step_fn (the first run of this demo
+    # churned shapes for 70 min and died in LLVM OOM); pinning the sampler
+    # to 12 frames / (6,2) chunks compiles the train step exactly once.
     train_ov = (
         FEATURE_OV
-        + _data_ov("train", root, '["02"]')
+        + _data_ov("train", root, '["02"]', fix_img_num=12)
         + _data_ov("val", root, '["01"]', fix_img_num=14)
         + [
             "seed_value=0",
             f"max_steps={args.steps}",
             f"val_epoch_freq={args.steps}",
             "max_img_per_gpu=12",
-            "data.train.img_nums=[8, 12]",
-            "chunk_width=[4, 6]",
-            "num_overlap=[1, 2]",
-            "shape_buckets=[[4, 1], [6, 2]]",
+            "chunk_width=[6, 6]",
+            "num_overlap=[2, 2]",
+            "shape_buckets=[[6, 2]]",
             f"checkpoint.save_dir={args.workdir}/ckpt",
             f"checkpoint.save_freq={args.steps}",
             "checkpoint.resume_from_checkpoint=false",

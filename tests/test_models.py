@@ -207,6 +207,40 @@ class TestTokenMergedGlobalAttention:
             assert bool(jnp.all(jnp.isfinite(
                 jnp.asarray(merged[k], jnp.float32)))), k
 
+    def test_feature_aligned_merge_knobs(self):
+        """FeatureAlignedVGGT exposes the same opt-in merge knobs (round 5,
+        for the trained-checkpoint KV-merge quality sweep): the merge is
+        parameter-free, so exact-trained params load into a merged model
+        unchanged, stride-1 stays bit-identical, and a real merge config
+        still produces finite same-shaped outputs."""
+        from vitslam_tpu.models import FeatureAlignedVGGT
+        from vitslam_tpu.utils.testing import (
+            make_synthetic_batch, tiny_model_kwargs,
+        )
+
+        kw = tiny_model_kwargs()
+        images = jnp.asarray(
+            make_synthetic_batch(B=1, N=4, H=28, W=42, seed=5)["images"])
+        params = FeatureAlignedVGGT(**kw).init(
+            jax.random.PRNGKey(0), images, 1)
+        outs = {}
+        for tag, merge in (
+            ("exact", {}),
+            ("anchor", dict(global_merge_pool=2, global_merge_stride=1)),
+            ("real", dict(global_merge_pool=2, global_merge_stride=2)),
+        ):
+            model = FeatureAlignedVGGT(**kw, **merge)
+            out, _ = model.apply(params, images, 1, None, None, False)
+            outs[tag] = out
+        for k in ("pose_enc", "depth", "world_points"):
+            np.testing.assert_allclose(
+                np.asarray(outs["anchor"][k], np.float32),
+                np.asarray(outs["exact"][k], np.float32), atol=1e-5,
+                err_msg=k)
+            assert outs["real"][k].shape == outs["exact"][k].shape, k
+            assert np.isfinite(
+                np.asarray(outs["real"][k], np.float32)).all(), k
+
 
 class TestRematPath:
     """remat=True over the rope-cache-carrying blocks: the cache's nsplit

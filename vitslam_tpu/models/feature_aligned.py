@@ -61,6 +61,10 @@ class FeatureAlignedVGGT(nn.Module):
     align_dec_dim: int = 512
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # KV-compressed global attention (opt-in approximation; parameter-free,
+    # so checkpoints trained exact load unchanged — see models/aggregator.py)
+    global_merge_pool: int = 0
+    global_merge_stride: int = 1
 
     @property
     def enable_memory(self) -> bool:
@@ -77,6 +81,8 @@ class FeatureAlignedVGGT(nn.Module):
             enable_point=self.enable_point, enable_track=self.enable_track,
             dpt_frames_chunk=self.dpt_frames_chunk,
             dtype=self.dtype, remat=self.remat,
+            global_merge_pool=self.global_merge_pool,
+            global_merge_stride=self.global_merge_stride,
         )
         self.alignment_head = AlignmentHead(
             patch_size=self.patch_size, in_dim=2 * self.embed_dim,

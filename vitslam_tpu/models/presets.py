@@ -32,6 +32,7 @@ SMALL = dict(
 
 def flagship(**overrides) -> FeatureAlignedVGGT:
     kw = dict(FLAGSHIP)
+    kw.update(_token_merge_overrides())
     kw.update(overrides)
     return FeatureAlignedVGGT(
         num_memory_tokens=kw.pop("num_memory_tokens", 8),
