@@ -71,9 +71,14 @@ def main():
 
     import numpy as np
 
+    import learning_loop_demo as demo
     from learning_loop_demo import FEATURE_OV, _data_ov, run_test
     from vitslam_tpu.io.checkpoint import load_checkpoint
     from vitslam_tpu.train.optim import merge_params
+
+    # per-setting evals are ~7 min each on this 1-core CPU; cache them so a
+    # machine reset mid-sweep only costs the unfinished setting
+    demo.CACHE_PATH = osp.join(args.demo_dir, "kvt_cache.json")
 
     ckpt_path = find_ckpt(args.demo_dir)
     raw = load_checkpoint(ckpt_path)
@@ -102,7 +107,9 @@ def main():
         rows.append((tag, vals, time.time() - t0))
 
     keys = sorted({k for _, vals, _ in rows for k in vals
-                   if any(t in k for t in ("ATE", "RPE", "Scale"))})
+                   if any(t in k for t in ("ate_rmse", "rpe_trans_rmse",
+                                           "rpe_rot_rmse",
+                                           "chamfer_distance_rmse"))})
     exact = rows[0][1]
     lines = [
         BEGIN,

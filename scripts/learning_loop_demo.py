@@ -66,29 +66,71 @@ def _data_ov(split: str, root: str, scene_ids, fix_img_num: int = 0):
 
 
 def graft_backbone(dst_params, src_params):
-    """Copy every shared top-level module subtree (aggregator, camera_head,
+    """Copy every shared module subtree (aggregator, camera_head,
     point_head, ...) from src into dst so all model families evaluate the
-    SAME backbone weights. Asserts the shared subtrees are structurally
-    identical."""
-    import jax
+    SAME backbone weights. The intersection is taken recursively: model
+    families differ in which heads they enable (e.g. the feature-aligned
+    core has no depth_head while the point-aligned one does), so dst-only
+    modules keep their init and only genuinely shared leaves are grafted
+    (with a shape assert)."""
     import numpy as np
+
+    copied = []
+
+    def _graft(dst, src, path):
+        if not (isinstance(dst, dict) and isinstance(src, dict)):
+            assert np.shape(dst) == np.shape(src), (
+                f"leaf {path} shape differs: "
+                f"{np.shape(dst)} vs {np.shape(src)}")
+            copied.append(path)
+            return src
+        out = dict(dst)
+        for k in set(dst) & set(src):
+            out[k] = _graft(dst[k], src[k], f"{path}/{k}")
+        return out
 
     d = dict(dst_params["params"])
     s = src_params["params"]
     shared = sorted(set(d) & set(s))
     assert shared, f"no shared modules between {sorted(d)} and {sorted(s)}"
     for k in shared:
-        ds = jax.tree_util.tree_map(lambda x: x.shape, d[k])
-        ss = jax.tree_util.tree_map(lambda x: x.shape, s[k])
-        assert ds == ss, f"module {k} structure differs:\n{ds}\nvs\n{ss}"
-        d[k] = s[k]
+        d[k] = _graft(d[k], s[k], k)
+    assert copied, "graft copied nothing"
     return {"params": d}, shared
+
+
+CACHE_PATH = None  # set by main(); run_test consults it when not None
+
+
+def _load_cache():
+    import json
+
+    if CACHE_PATH and osp.isfile(CACHE_PATH):
+        with open(CACHE_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _cache_put(label: str, metrics: dict):
+    import json
+
+    if not CACHE_PATH:
+        return
+    cache = _load_cache()
+    cache[label] = {k: float(v) for k, v in metrics.items()}
+    with open(CACHE_PATH, "w") as f:
+        json.dump(cache, f, indent=1)
 
 
 def run_test(cfg_name: str, overrides, params, label: str):
     from vitslam_tpu.cli import build_from_config
     from vitslam_tpu.config.loader import compose
     from vitslam_tpu.train.trainer import Trainer
+
+    cached = _load_cache().get(label)
+    if cached is not None:
+        print(f"[demo] test({label}) from cache: {cached}")
+        return None, cached
 
     cfg = compose(cfg_name, osp.join(REPO, "configs"), overrides=overrides)
     model, loss, metrics, _, test_data, _ = build_from_config(cfg)
@@ -98,6 +140,7 @@ def run_test(cfg_name: str, overrides, params, label: str):
     out = trainer.test()
     print(f"[demo] test({label}) in {time.time() - t0:.1f}s: "
           f"{ {k: round(float(v), 4) for k, v in out.items()} }")
+    _cache_put(label, out)
     return model, out
 
 
@@ -108,6 +151,12 @@ def main():
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--report", default=osp.join(REPO, "docs",
                                                  "LEARNING_LOOP_DEMO.md"))
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse an existing workdir: load the trained "
+                         "checkpoint instead of re-training and skip any "
+                         "eval already in results_cache.json (the backbone "
+                         "is frozen during training, so the checkpoint's "
+                         "core == the init core and grafting is unaffected)")
     args = ap.parse_args()
 
     import jax
@@ -124,14 +173,18 @@ def main():
     from vitslam_tpu.train.trainer import Trainer
     from vitslam_tpu.utils.fixtures import write_vkitti_fixture
 
-    if osp.isdir(args.workdir):
+    if osp.isdir(args.workdir) and not args.resume:
         shutil.rmtree(args.workdir)
     root = osp.join(args.workdir, "vkitti")
-    # train scene (02) and held-out scene (01), geometrically consistent
-    write_vkitti_fixture(root, scene="02", setting="clone", n_frames=40,
-                         hw=(56, 84), seed=3)
-    write_vkitti_fixture(root, scene="01", setting="clone", n_frames=16,
-                         hw=(56, 84), seed=5)
+    if not osp.isdir(root):
+        # train scene (02) and held-out scene (01), geometrically consistent
+        write_vkitti_fixture(root, scene="02", setting="clone", n_frames=40,
+                             hw=(56, 84), seed=3)
+        write_vkitti_fixture(root, scene="01", setting="clone", n_frames=16,
+                             hw=(56, 84), seed=5)
+
+    global CACHE_PATH
+    CACHE_PATH = osp.join(args.workdir, "results_cache.json")
 
     # --- train the feature-aligned model --------------------------------
     # ONE shape bucket + a fixed train frame count: on this 1-core machine
@@ -172,12 +225,28 @@ def main():
     first = next(train_data.get_loader(epoch=0))
     trainer.init_state(first)
     init_params = copy.deepcopy(trainer.current_params())
-    print(f"[demo] training {args.steps} steps on Scene02 fixture ...")
-    t0 = time.time()
-    trainer.fit()
-    train_secs = time.time() - t0
+    ckpt_path = osp.join(
+        args.workdir, "ckpt",
+        f"train_featureAlignedVGGT_vkitti_step{args.steps}.ckpt")
+    if args.resume and osp.isfile(ckpt_path):
+        # seed_value is pinned, so init_state reproduces the original init
+        # params bit-for-bit; the checkpointed TrainState supplies the
+        # trained AlignmentHead (the backbone is frozen either way).
+        from vitslam_tpu.io.checkpoint import load_checkpoint
+
+        trainer.state = load_checkpoint(ckpt_path, trainer.state)
+        train_secs = _load_cache().get("_meta", {}).get("train_secs",
+                                                        float("nan"))
+        print(f"[demo] resumed step-{int(trainer.state.step)} params from "
+              f"{ckpt_path}")
+    else:
+        print(f"[demo] training {args.steps} steps on Scene02 fixture ...")
+        t0 = time.time()
+        trainer.fit()
+        train_secs = time.time() - t0
+        print(f"[demo] trained in {train_secs:.1f}s")
+        _cache_put("_meta", {"train_secs": train_secs})
     trained_params = trainer.current_params()
-    print(f"[demo] trained in {train_secs:.1f}s")
 
     # --- evaluate all four on the SAME backbone weights -----------------
     eval_scenes = '["01", "02"]'
@@ -203,6 +272,11 @@ def main():
         if name == "pose":
             # pose-aligned disables the point head; keep the shared modules
             base_ov = [o for o in base_ov if "enable_point" not in o]
+        cached = _load_cache().get(name)
+        if cached is not None:
+            print(f"[demo] test({name}) from cache: {cached}")
+            results[name] = cached
+            continue
         bcfg = compose(cfg_name, osp.join(REPO, "configs"), overrides=base_ov)
         bmodel, bloss, bmetrics, _, btest, _ = build_from_config(bcfg)
         bparams = jax.jit(bmodel.init, static_argnums=(2,))(
@@ -212,13 +286,17 @@ def main():
         print(f"[demo] {name}-aligned shares backbone modules: {shared}")
         btrainer = Trainer(bcfg, bmodel, bloss, val_data=btest,
                            metrics=bmetrics, params=bparams)
+        t0 = time.time()
         results[name] = btrainer.test()
-        print(f"[demo] test({name}) "
+        print(f"[demo] test({name}) in {time.time() - t0:.1f}s "
               f"{ {k: round(float(v), 4) for k, v in results[name].items()} }")
+        _cache_put(name, results[name])
 
     # --- report ----------------------------------------------------------
-    metric_keys = sorted({k for m in results.values() for k in m
-                          if any(t in k for t in ("ATE", "RPE", "Scale"))})
+    metric_keys = sorted({
+        k for m in results.values() for k in m
+        if any(t in k for t in ("ate_rmse", "rpe_trans_rmse",
+                                "rpe_rot_rmse", "chamfer_distance_rmse"))})
     lines = [
         "# Learning-loop demo: trained feature alignment vs training-free "
         "baselines",
@@ -249,7 +327,7 @@ def main():
         vs = [float(v) for k, v in m.items() if k.endswith(tag)]
         return sum(vs) / len(vs) if vs else float("nan")
 
-    for tag in ("ATE", "RPE_trans", "RPE_rot"):
+    for tag in ("ate_rmse", "rpe_trans_rmse", "rpe_rot_rmse"):
         a, b = mean_over(m_init, tag), mean_over(m_trained, tag)
         if np.isfinite(a) and np.isfinite(b) and a > 0:
             lines.append("")
