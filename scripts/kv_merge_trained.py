@@ -38,10 +38,15 @@ END = "<!-- TRAINED-SWEEP-END -->"
 # (pool, stride) settings meaningful at the demo scale: img 28 / patch 14
 # is a 2x2 patch grid, so any pool >= 2 collapses a non-anchor frame's
 # patch KV to ONE token — the pool axis is saturated and the ANCHOR-STRIDE
-# axis carries the signal (stride 2 = every other frame exact; stride 5 =
-# only frame 0 exact per 5-frame chunk). The flagship 37x11 grid has the
-# full pool axis; its FPS numbers are BENCH.md's token-merge table.
-SETTINGS = [None, (2, 2), (2, 5)]
+# axis carries the signal (stride 2 = every other frame exact; stride 3 =
+# anchors at in-chunk frames 0 and 3 of the 5-frame chunk, 3/5 merged).
+# NOTE the aggregator disables merging unless S > merge_stride
+# (models/aggregator.py), so with the test config's chunk_width=5 a
+# stride-5 setting would silently run exact — CHUNK_W guards against that.
+# The flagship 37x11 grid has the full pool axis; its FPS numbers are
+# BENCH.md's token-merge table.
+SETTINGS = [None, (2, 2), (2, 3)]
+CHUNK_W = 5  # test_featureAlignedVGGT_vkitti.yaml chunk_width
 
 
 def find_ckpt(demo_dir: str) -> str:
@@ -92,6 +97,11 @@ def main():
 
     rows = []
     for setting in SETTINGS:
+        if setting is not None:
+            pool, stride = setting
+            assert pool > 1 and CHUNK_W > stride, (
+                f"setting {setting} would silently disable merging "
+                f"(aggregator requires pool>1 and S>stride; S={CHUNK_W})")
         tag = "exact" if setting is None else f"p{setting[0]}s{setting[1]}"
         ov = (FEATURE_OV
               + _data_ov("test", root, eval_scenes, fix_img_num=14)
@@ -128,9 +138,11 @@ def main():
         "At demo scale (2x2 patch grid) the pool axis is saturated — every "
         "pool>=2 collapses non-anchor patch KV to one token — so the table "
         "reads along the anchor-stride axis: p2s2 = every other frame "
-        "exact, p2s5 = one exact frame per 5-frame chunk (the flagship "
-        "sweep's heaviest settings are MORE conservative per frame than "
-        "p2s5 here).",
+        "exact, p2s3 = anchors at in-chunk frames 0 and 3 (3 of 5 frames "
+        "merged; the flagship sweep's heaviest settings are MORE "
+        "conservative per frame). A stride >= the 5-frame chunk width "
+        "would silently disable merging (aggregator requires S > stride), "
+        "so the script rejects such settings.",
         "",
         "| setting | " + " | ".join(keys) + " |",
         "|---|" + "---|" * len(keys),
