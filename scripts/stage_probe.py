@@ -60,25 +60,44 @@ def main():
     # full encode (aggregator + all heads), batched over B chunks
     timeit("encode_fn(B)", lambda g: pipe._encode_fn(params, g), group)
 
-    # aggregator alone (returns taps; fence touches one leaf slice)
-    agg = jax.jit(lambda p, im: model.apply(
-        p, im, method=lambda m, im: m.core.encode(im))[0][-1][..., :1, :1])
-    timeit("aggregator(B)", lambda g: agg(params, g), group)
+    # aggregator alone (returns taps; fence touches one leaf slice).
+    # Materializing ALL taps with no consumer OOMs HBM at the square-518
+    # shape beyond B~4, so this stage is allowed to fail independently.
+    try:
+        agg = jax.jit(lambda p, im: model.apply(
+            p, im, method=lambda m, im: m.core.encode(im))[0][-1][..., :1, :1])
+        timeit("aggregator(B)", lambda g: agg(params, g), group)
+    except Exception as e:  # pragma: no cover - probe resilience
+        print(f"{'aggregator(B)':24s} FAILED: {str(e)[:160]}", flush=True)
 
-    # heads alone, on fixed taps from a 1-chunk encode broadcast to B
+    # heads alone, on fixed taps from an encode. Holding the full tap
+    # pyramid with no consumer is ~3.6 GB per chunk at square-518, so halve
+    # the head batch until it fits and report per-B-chunk-normalized times.
     taps_fn = jax.jit(lambda p, im: model.apply(
         p, im, method=lambda m, im: m.core.encode(im)))
-    taps, psi = taps_fn(params, group)
+    Bh = B
+    while True:
+        try:
+            taps, psi = taps_fn(params, group[:Bh])
+            fence(taps)
+            break
+        except Exception as e:
+            if Bh == 1:
+                raise
+            print(f"taps at B={Bh} failed ({str(e)[:80]}); halving", flush=True)
+            Bh //= 2
+    scale = B / Bh
+    sfx = f"(x{scale:.0f})" if Bh != B else ""
 
     dpt = jax.jit(lambda p, taps, im: model.apply(
         p, taps, im, method=lambda m, t, im: m.core.decode_point(t, im, 5)))
-    timeit("point_head(B)", lambda: dpt(params, taps, group))
+    timeit(f"point_head({Bh}){sfx}", lambda: dpt(params, taps, group[:Bh]))
     dpt2 = jax.jit(lambda p, taps, im: model.apply(
         p, taps, im, method=lambda m, t, im: m.core.decode_depth(t, im, 5)))
-    timeit("depth_head(B)", lambda: dpt2(params, taps, group))
+    timeit(f"depth_head({Bh}){sfx}", lambda: dpt2(params, taps, group[:Bh]))
     cam = jax.jit(lambda p, taps: model.apply(
         p, taps, method=lambda m, t: m.core.decode_camera(t)))
-    timeit("camera_head(B)", lambda: cam(params, taps))
+    timeit(f"camera_head({Bh}){sfx}", lambda: cam(params, taps))
 
     # align stage: one chunk, sequential (state-carried)
     raw1 = jax.tree_util.tree_map(
