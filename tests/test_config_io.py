@@ -48,6 +48,13 @@ class TestConfig:
         cfg = compose("exp", str(tmp_path), overrides={"a": 3})
         assert cfg.b == 3
 
+    def test_malformed_override_rejected(self, tmp_path):
+        """An override missing '=' raises a clear ValueError instead of
+        silently nulling a key (ADVICE r4, config/loader.py)."""
+        (tmp_path / "exp.yaml").write_text("img_size: 518\n")
+        with pytest.raises(ValueError, match="img_size140"):
+            compose("exp", str(tmp_path), overrides=["img_size140"])
+
     def test_instantiate(self):
         node = {
             "_target_": "vitslam_tpu.train.losses.MultitaskLoss",
